@@ -1,0 +1,195 @@
+"""Parser-chain driver (reference: ParseMsg, runtime/parser.c:617-694).
+
+The reference tries each parser in the ruleset's parser list (default
+``[pmrfc5424, pmrfc3164]``, runtime/ruleset.c:686-690 with fallback
+parser.c:646-648); the first parser not returning COULD_NOT_PARSE wins
+(parser.c:654-672). If none accepts, the message is discarded with a
+rate-limited error (parser.c:679-687) — here: ``parse_success = false``
+and the row is routable to a parse_errors sink instead of being dropped.
+
+Spark shape: ONE Arrow-batched pandas UDF runs the whole chain per batch
+(both parsers are pandas-vectorized inside), so each row crosses the
+JVM<->Python boundary exactly once. PRI decode and sanitize happen
+natively before the UDF; programname/procid derivation happens natively
+after it. The reference's analog of our Arrow batch is its dequeue batch
+of 128 messages (runtime/queue.c:1534).
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from rsyslog_spark.parse.pm3164 import parse_3164
+from rsyslog_spark.parse.pm5424 import parse_5424
+from rsyslog_spark.parse.pri import with_pri
+from rsyslog_spark.parse.sanitize import with_sanitized
+from rsyslog_spark.schema import PARSED_STRUCT
+
+_FIELDS = [f.name for f in PARSED_STRUCT.fields]
+
+
+def parse_chain_pd(
+    after_pri: pd.Series,
+    facility: pd.Series,
+    recv_ts: pd.Series,
+    fromhost: pd.Series,
+    has_pri: pd.Series,
+    parsers: tuple[str, ...] = ("rfc5424", "rfc3164"),
+    require_header: bool = False,
+) -> pd.DataFrame:
+    """Pure-pandas chain (also used directly by unit tests)."""
+    n = len(after_pri)
+    idx = after_pri.index
+    out = pd.DataFrame(index=idx)
+    remaining = pd.Series(True, index=idx)
+    parser_name = pd.Series([None] * n, index=idx, dtype="object")
+    parts: list[pd.DataFrame] = []
+
+    for p in parsers:
+        if not remaining.any():
+            break
+        sel = remaining[remaining].index
+        if p == "rfc5424":
+            r = parse_5424(after_pri[sel], recv_ts[sel])
+        elif p == "rfc3164":
+            r = parse_3164(
+                after_pri[sel],
+                facility[sel],
+                recv_ts[sel],
+                fromhost=fromhost[sel],
+                has_pri=has_pri[sel],
+                require_header=require_header,
+            )
+        else:
+            raise ValueError(f"unknown parser {p!r}")
+        acc = r["accepted"]
+        took = acc[acc].index
+        parser_name[took] = p
+        parts.append(r.loc[took])
+        remaining[took] = False
+
+    body = (
+        pd.concat(parts).reindex(idx)
+        if parts
+        else pd.DataFrame(index=idx, columns=[c for c in _FIELDS if c != "parser"])
+    )
+    for c in _FIELDS:
+        if c in ("parse_success", "parser"):
+            continue
+        out[c] = body[c] if c in body else None
+
+    # chain exhausted -> discard path (parser.c:679-687): success=false,
+    # MSG carries the whole unparsed text for the errors sink.
+    failed = remaining
+    out["parse_success"] = ~failed
+    out["parser"] = parser_name.where(~failed, "none")
+    if failed.any():
+        fi = failed[failed].index
+        out.loc[fi, "msg"] = after_pri[fi]
+        out.loc[fi, "hostname"] = fromhost[fi]
+        out.loc[fi, "protocol_version"] = 0
+        out.loc[fi, "timereported"] = recv_ts[fi]
+    out["protocol_version"] = out["protocol_version"].fillna(0).astype("int32")
+    out["timereported"] = pd.to_datetime(out["timereported"]).astype("datetime64[us]")
+    return out[_FIELDS]
+
+
+@lru_cache(maxsize=8)
+def _chain_udf(parsers: tuple[str, ...], require_header: bool):
+    @F.pandas_udf(PARSED_STRUCT)
+    def udf(
+        after_pri: pd.Series,
+        facility: pd.Series,
+        recv_ts: pd.Series,
+        fromhost: pd.Series,
+        has_pri: pd.Series,
+    ) -> pd.DataFrame:
+        return parse_chain_pd(
+            after_pri,
+            facility,
+            recv_ts,
+            fromhost,
+            has_pri,
+            parsers=parsers,
+            require_header=require_header,
+        )
+
+    return udf
+
+
+def parse_chain(
+    after_pri: Column,
+    facility: Column,
+    recv_ts: Column,
+    fromhost: Column,
+    has_pri: Column,
+    parsers: tuple[str, ...] = ("rfc5424", "rfc3164"),
+    require_header: bool = False,
+) -> Column:
+    """Column expression: full parser chain -> PARSED_STRUCT."""
+    return _chain_udf(tuple(parsers), require_header)(
+        after_pri, facility, recv_ts, fromhost, has_pri
+    )
+
+
+# programname: TAG prefix ended by end / nonprint / ':' / '[' / '/'
+# (FreeBSD rule, runtime/msg.c:1545-1586) — native regex, lazy in the
+# reference, eager-but-codegen'd here.
+_PROGNAME_RE = r"^([^:\[/]*)"
+# legacy PROCID emulation: text between '[' and ']' of TAG
+# (aquirePROCIDFromTAG, runtime/msg.c:1495-1542); '' when absent.
+_PROCID_RE = r"^[^\[]*\[([^\]]*)\]"
+
+
+def with_parsed(
+    df: DataFrame,
+    text_col: str = "text",
+    recv_ts_col: str = "ts",
+    fromhost_col: str | None = None,
+    parsers: tuple[str, ...] = ("rfc5424", "rfc3164"),
+    require_header: bool = False,
+) -> DataFrame:
+    """Full parse pipeline: sanitize -> PRI -> parser chain -> derived cols.
+
+    Adds: rawmsg, pri, syslogfacility, syslogseverity, rawmsg_after_pri,
+    protocol_version, timestamp_text, hostname, syslogtag, app_name,
+    procid, msgid, structured_data, msg, parse_success, parser,
+    timereported, timegenerated, programname.
+    """
+    df = with_sanitized(df, raw_col=text_col, out="rawmsg")
+    df = with_pri(df, raw_col="rawmsg")
+    fromhost = (
+        F.col(fromhost_col) if fromhost_col else F.lit("")
+    )
+    parsed = parse_chain(
+        F.col("rawmsg_after_pri"),
+        F.col("syslogfacility"),
+        F.col(recv_ts_col),
+        fromhost,
+        F.col("rawmsg").startswith("<"),
+        parsers=parsers,
+        require_header=require_header,
+    )
+    df = df.withColumn("_p", parsed)
+    for f in _FIELDS:
+        df = df.withColumn(f, F.col(f"_p.{f}"))
+    df = df.drop("_p")
+    df = df.withColumn("timegenerated", F.col(recv_ts_col))
+    df = df.withColumn(
+        "programname", F.regexp_extract(F.col("syslogtag"), _PROGNAME_RE, 1)
+    )
+    # legacy procid emulation only applies to protocol 0 rows with no
+    # explicit procid (msg.c:1505-1507 "only if legacy format")
+    df = df.withColumn(
+        "procid",
+        F.when(
+            (F.col("protocol_version") == 0)
+            & (F.coalesce(F.col("procid"), F.lit("")) == ""),
+            F.regexp_extract(F.col("syslogtag"), _PROCID_RE, 1),
+        ).otherwise(F.col("procid")),
+    )
+    return df
