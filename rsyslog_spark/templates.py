@@ -1,0 +1,325 @@
+"""Template compiler: rsyslog templates -> ONE Column expression.
+
+Reference: template.c (2433 LoC; text form ``%prop:fromPos:toPos:options%``
+parsed around template.c:691-788), property rendering pipeline in
+MsgGetProp (runtime/msg.c:3526 onward), built-in templates
+runtime/rsconf.c:86-116 + strgen fast paths (tools/smtradfile.c:70-110,
+tools/smfile.c).
+
+A whole template compiles to a single ``concat(...)`` Column — Catalyst's
+whole-stage codegen turns that into the same "one memcpy pass" the
+reference's strgen modules hand-roll (SURVEY §4.2: strgen ≙ codegen).
+
+Option pipeline order follows msg.c exactly (SURVEY §2.7 table):
+field extraction (F,ch) -> regex (R,...) -> substring (fromPos/toPos) ->
+sp-if-no-1st-sp -> case -> control chars -> secpath -> drop-last-lf ->
+compressspace -> escaping (csv/json/jsonf) ; date-formats apply to
+timestamp properties.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from rsyslog_spark.schema import FACILITY_NAMES, SEVERITY_NAMES
+
+# ---------------------------------------------------------------------------
+# built-in templates (runtime/rsconf.c:86-116; registered :1246-1276)
+# ---------------------------------------------------------------------------
+BUILTIN_TEMPLATES = {
+    # tools/smtradfile.c:70-110: TS3164 SP HOST SP TAG [SP] MSG LF
+    "RSYSLOG_TraditionalFileFormat":
+        "%TIMESTAMP% %HOSTNAME% %syslogtag%%msg:::sp-if-no-1st-sp%%msg:::drop-last-lf%\n",
+    # tools/smfile.c (same, RFC3339 date)
+    "RSYSLOG_FileFormat":
+        "%TIMESTAMP:::date-rfc3339% %HOSTNAME% %syslogtag%%msg:::sp-if-no-1st-sp%%msg:::drop-last-lf%\n",
+    # rsconf.c:89-92
+    "RSYSLOG_SyslogProtocol23Format":
+        "<%PRI%>1 %TIMESTAMP:::date-rfc3339% %HOSTNAME% %APP-NAME% "
+        "%PROCID% %MSGID% %STRUCTURED-DATA% %msg%\n",
+    "RSYSLOG_SyslogRFC5424Format":
+        "<%PRI%>1 %TIMESTAMP:::date-rfc3339% %HOSTNAME% %APP-NAME% "
+        "%PROCID% %MSGID% %STRUCTURED-DATA% %msg%",
+    # tools/smfwd.c analogs
+    "RSYSLOG_ForwardFormat":
+        "<%PRI%>%TIMESTAMP:::date-rfc3339% %HOSTNAME% %syslogtag:1:32%"
+        "%msg:::sp-if-no-1st-sp%%msg%",
+    "RSYSLOG_TraditionalForwardFormat":
+        "<%PRI%>%TIMESTAMP% %HOSTNAME% %syslogtag:1:32%"
+        "%msg:::sp-if-no-1st-sp%%msg%",
+    # rsconf.c:110
+    "RSYSLOG_SysklogdFileFormat":
+        "%TIMESTAMP% %HOSTNAME% %syslogtag%%msg:::sp-if-no-1st-sp%%msg%\n",
+    # rsconf.c:111-114
+    "RSYSLOG_StdJSONFmt":
+        '{"message":"%msg:::json%","fromhost":"%HOSTNAME:::json%",'
+        '"facility":"%syslogfacility-text%","priority":"%syslogpriority-text%",'
+        '"timereported":"%timereported:::date-rfc3339%",'
+        '"timegenerated":"%timegenerated:::date-rfc3339%"}',
+}
+
+_TS_PROPS = {"timestamp", "timereported", "timegenerated"}
+
+# property name -> column name (propNameToID, runtime/msg.c:568-694)
+_PROP_TO_COL = {
+    "msg": "msg",
+    "rawmsg": "rawmsg",
+    "rawmsg-after-pri": "rawmsg_after_pri",
+    "hostname": "hostname",
+    "source": "hostname",
+    "syslogtag": "syslogtag",
+    "programname": "programname",
+    "protocol-version": "protocol_version",
+    "structured-data": "structured_data",
+    "app-name": "app_name",
+    "procid": "procid",
+    "msgid": "msgid",
+    "inputname": "inputname",
+    "fromhost": "fromhost",
+    "fromhost-ip": "fromhost_ip",
+    "pri": "pri",
+    "syslogfacility": "syslogfacility",
+    "syslogseverity": "syslogseverity",
+    "syslogpriority": "syslogseverity",  # alias, msg.c:600
+    "timestamp": "timereported",
+    "timereported": "timereported",
+    "timegenerated": "timegenerated",
+    "parsesuccess": "parse_success",
+}
+
+
+def _sev_text(col: Column) -> Column:
+    arr = F.array(*[F.lit(s) for s in SEVERITY_NAMES])
+    return F.element_at(arr, (col.cast("int") % 8) + 1)
+
+
+def _fac_text(col: Column) -> Column:
+    arr = F.array(*[F.lit(s) for s in FACILITY_NAMES])
+    c = F.when(col.cast("int") > 23, F.lit(24)).otherwise(col.cast("int"))
+    return F.element_at(arr, c + 1)
+
+
+def resolve_property(name: str) -> Column:
+    """Property name -> Column over the parsed-message columns."""
+    lname = name.lower()
+    if lname in _PROP_TO_COL:
+        return F.col(_PROP_TO_COL[lname])
+    if lname == "pri-text":
+        # textpri(): "facility.severity" (msg.c getPRIText semantics)
+        return F.concat(
+            _fac_text(F.col("syslogfacility")),
+            F.lit("."),
+            _sev_text(F.col("syslogseverity")),
+        )
+    if lname == "syslogseverity-text" or lname == "syslogpriority-text":
+        return _sev_text(F.col("syslogseverity"))
+    if lname == "syslogfacility-text":
+        return _fac_text(F.col("syslogfacility"))
+    if lname == "jsonmesg":
+        # whole message object as JSON (msg.h:219)
+        return F.to_json(F.struct(*[F.col(c) for c in _JSONMESG_COLS]))
+    if lname == "uuid":
+        return F.expr("uuid()")
+    if name.startswith("$!"):
+        return F.element_at(F.col("vars"), name[2:])
+    if name.startswith("$."):
+        return F.element_at(F.col("locals"), name[2:])
+    raise ValueError(f"unknown property {name!r}")
+
+
+_JSONMESG_COLS = [
+    "msg", "rawmsg", "hostname", "syslogtag", "programname", "pri",
+    "syslogfacility", "syslogseverity", "timereported", "timegenerated",
+]
+
+
+# ---------------------------------------------------------------------------
+# date formats (enum tplFormatTypes, template.h:62-68; rendering
+# msg.c:3555-3566 via getTimeReported msg.c:1788)
+# ---------------------------------------------------------------------------
+
+def format_timestamp(col: Column, fmt: str | None) -> Column:
+    """Render a timestamp column per template date option. Default (no
+    option) is the RFC3164 form (getTimeReported tplFmtDefault; the
+    traditional strgen passes tplFmtRFC3164Date, smtradfile.c:72)."""
+    if fmt is None or fmt == "date-rfc3164":
+        return F.concat(
+            F.date_format(col, "MMM"),
+            F.lit(" "),
+            F.lpad(F.dayofmonth(col).cast("string"), 2, " "),
+            F.lit(" "),
+            F.date_format(col, "HH:mm:ss"),
+        )
+    if fmt == "date-rfc3339":
+        # engine pins UTC; fraction emitted when non-zero (micro precision)
+        micros = F.date_format(col, "SSSSSS")
+        return F.concat(
+            F.date_format(col, "yyyy-MM-dd'T'HH:mm:ss"),
+            F.when(micros != "000000", F.concat(F.lit("."), micros)).otherwise(
+                F.lit("")
+            ),
+            F.lit("+00:00"),
+        )
+    if fmt == "date-unixtimestamp":
+        return F.unix_timestamp(col).cast("string")
+    if fmt == "date-year":
+        return F.date_format(col, "yyyy")
+    if fmt == "date-month":
+        return F.date_format(col, "MM")
+    if fmt == "date-day":
+        return F.date_format(col, "dd")
+    if fmt == "date-hour":
+        return F.date_format(col, "HH")
+    if fmt == "date-minute":
+        return F.date_format(col, "mm")
+    if fmt == "date-second":
+        return F.date_format(col, "ss")
+    if fmt in ("date-mysql", "date-pgsql"):
+        return F.date_format(col, "yyyy-MM-dd HH:mm:ss")
+    if fmt == "date-wdayname":
+        return F.date_format(col, "EEE")
+    raise ValueError(f"unknown date format {fmt!r}")
+
+
+# ---------------------------------------------------------------------------
+# escaping (msg.c:4550-4586; template.h:48-53)
+# ---------------------------------------------------------------------------
+
+def json_escape(col: Column) -> Column:
+    """JSON string-body escaping (jsonEncode, template option 'json').
+    Sanitize has already #NNN-escaped raw control chars, so backslash,
+    quote, and the common whitespace escapes cover the domain."""
+    c = F.replace(col, F.lit("\\"), F.lit("\\\\"))
+    c = F.replace(c, F.lit('"'), F.lit('\\"'))
+    c = F.replace(c, F.lit("\n"), F.lit("\\n"))
+    c = F.replace(c, F.lit("\r"), F.lit("\\r"))
+    c = F.replace(c, F.lit("\t"), F.lit("\\t"))
+    return c
+
+
+def csv_escape(col: Column) -> Column:
+    """RFC4180 csv option (msg.c:4550): quote and double inner quotes."""
+    return F.concat(F.lit('"'), F.replace(col, F.lit('"'), F.lit('""')), F.lit('"'))
+
+
+def sql_escape(col: Column, std: bool = False) -> Column:
+    """sql/stdsql template options (template.h:48-53): single-quote
+    doubling; non-std MySQL mode also backslash-escapes backslash."""
+    c = col
+    if not std:
+        c = F.replace(c, F.lit("\\"), F.lit("\\\\"))
+    return F.replace(c, F.lit("'"), F.lit("''"))
+
+
+# ---------------------------------------------------------------------------
+# the compiler
+# ---------------------------------------------------------------------------
+
+_FIELD_RE = re.compile(r"%([^%]*)%")
+
+
+def _apply_options(
+    col: Column, prop: str, from_pos: str, to_pos: str, opts: list[str]
+) -> Column:
+    """Apply the per-FIELD option pipeline in msg.c order (§2.7)."""
+    is_ts = prop.lower() in _TS_PROPS
+    date_fmt = next((o for o in opts if o.startswith("date-")), None)
+    if is_ts:
+        col = format_timestamp(col, date_fmt)
+    else:
+        col = F.coalesce(col.cast("string"), F.lit(""))
+
+    # stage 1: field extraction %prop:F,<delimcode>:n% (msg.c:3927)
+    if from_pos.startswith("F"):
+        delim = ","
+        if "," in from_pos:
+            delim = chr(int(from_pos.split(",", 1)[1]))
+        n = int(to_pos)
+        parts = F.split(col, re.escape(delim))
+        col = F.coalesce(F.get(parts, n - 1), F.lit("**FIELD NOT FOUND**"))
+    # stage 2: regex %prop:R,<regex>...% (msg.c:3990)
+    elif from_pos.startswith("R"):
+        # R,<flavor>,<match>,<submatch>,<nomatchact>:regex given in to_pos
+        parts = from_pos.split(",")
+        submatch = int(parts[3]) if len(parts) > 3 and parts[3].isdigit() else 0
+        col = F.coalesce(
+            F.nullif(F.regexp_extract(col, to_pos, submatch), F.lit("")),
+            F.lit("**NO MATCH**"),
+        )
+    # stage 3: substring via fromPos/toPos, 1-based inclusive (msg.c:4120)
+    elif from_pos:
+        f0, t0 = int(from_pos), int(to_pos)
+        col = F.substring(col, f0, t0 - f0 + 1)
+
+    for o in opts:
+        if o == "sp-if-no-1st-sp":
+            # field renders as " " or "" ONLY (msg.c:4196)
+            col = F.when(col.startswith(" "), F.lit("")).otherwise(F.lit(" "))
+        elif o == "lowercase":
+            col = F.lower(col)
+        elif o == "uppercase":
+            col = F.upper(col)
+        elif o == "drop-cc":
+            col = F.regexp_replace(col, "[\\x00-\\x1f\\x7f]", "")
+        elif o == "space-cc":
+            col = F.regexp_replace(col, "[\\x00-\\x1f\\x7f]", " ")
+        elif o == "escape-cc":
+            pass  # sanitize already escaped on receive (parser.c defaults)
+        elif o == "secpath-drop":
+            col = F.replace(col, F.lit("/"), F.lit(""))
+        elif o == "secpath-replace":
+            col = F.replace(col, F.lit("/"), F.lit("_"))
+        elif o == "drop-last-lf":
+            col = F.regexp_replace(col, "\\n$", "")
+        elif o == "compressspace":
+            col = F.regexp_replace(col, " +", " ")
+        elif o == "csv":
+            col = csv_escape(col)
+        elif o == "json":
+            col = json_escape(col)
+        elif o == "sql":
+            col = sql_escape(col, std=False)
+        elif o == "stdsql":
+            col = sql_escape(col, std=True)
+        elif o.startswith("date-"):
+            pass  # handled above
+        elif o == "":
+            pass
+        else:
+            raise ValueError(f"unsupported template option {o!r}")
+    return col
+
+
+def compile_template(spec: str) -> Column:
+    """Compile a template (text form or builtin name) to ONE Column.
+
+    ``spec`` may be a builtin name ('RSYSLOG_TraditionalFileFormat') or a
+    template string with %prop:from:to:options% fields.
+    """
+    if spec in BUILTIN_TEMPLATES:
+        spec = BUILTIN_TEMPLATES[spec]
+    parts: list[Column] = []
+    pos = 0
+    toggle_field = False
+    for seg in spec.split("%"):
+        if toggle_field:
+            bits = seg.split(":")
+            prop = bits[0]
+            from_pos = bits[1] if len(bits) > 1 else ""
+            to_pos = bits[2] if len(bits) > 2 else ""
+            opts = bits[3].split(",") if len(bits) > 3 else []
+            col = resolve_property(prop)
+            parts.append(_apply_options(col, prop, from_pos, to_pos, opts))
+        elif seg:
+            parts.append(F.lit(seg))
+        toggle_field = not toggle_field
+    if not parts:
+        return F.lit("")
+    return F.concat(*parts)
+
+
+def with_template(df: DataFrame, spec: str, out: str = "formatted") -> DataFrame:
+    return df.withColumn(out, compile_template(spec))

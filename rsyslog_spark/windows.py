@@ -1,0 +1,128 @@
+"""Sequence-dependent operators over the stable (conv_id, turn_idx) order.
+
+The reference's order-sensitive behaviors are all single-pass over
+arrival order (SURVEY §2.9); our total order is the north-rule window
+``partitionBy(conv_id).orderBy(turn_idx)`` — bounded per conversation,
+so windows never concentrate a hot partition beyond one conversation's
+size (skew note, SURVEY §7.3).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _w(partition_by: str | list[str], order_by: str | list[str]):
+    p = [partition_by] if isinstance(partition_by, str) else partition_by
+    o = [order_by] if isinstance(order_by, str) else order_by
+    return Window.partitionBy(*p).orderBy(*o)
+
+
+def repeat_suppression(
+    df: DataFrame,
+    msg_col: str = "msg",
+    partition_by: str = "conv_id",
+    order_by: str | list[str] = "turn_idx",
+) -> DataFrame:
+    """'last message repeated n times' collapse (runtime/ratelimit.c:46-89).
+
+    Consecutive identical messages within a partition collapse to the
+    first occurrence plus a repeat count; output one row per run with
+    ``repeat_count`` (0 = unique). The reference emits a literal
+    'last message repeated n times' summary line; we keep the count as a
+    column (the summary line is a template away).
+
+    Plan: lag -> change-flag -> running-sum run id -> groupBy run. Two
+    window passes + one partial-aggregated groupBy, all shuffle-on-conv_id
+    (the same single shuffle reused — sort within partition is free).
+    """
+    w = _w(partition_by, order_by)
+    ord0 = order_by if isinstance(order_by, str) else order_by[0]
+    changed = (
+        F.coalesce(F.lag(msg_col).over(w) != F.col(msg_col), F.lit(True))
+    ).cast("int")
+    run = F.sum(changed).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    runs = df.withColumn("_run", run)
+    first_cols = list(df.columns)
+    # min over (order, row-struct) picks the first row of each run
+    return (
+        runs.groupBy(partition_by, "_run")
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.min(
+                F.struct(F.col(ord0).alias("_ord"), *first_cols)
+            ).alias("_first"),
+        )
+        .select(
+            *[F.col(f"_first.{c}").alias(c) for c in first_cols],
+            (F.col("_n") - 1).alias("repeat_count"),
+        )
+    )
+
+
+def rate_limit(
+    df: DataFrame,
+    interval_s: int,
+    burst: int,
+    source_col: str = "conv_id",
+    ts_col: str = "ts",
+    order_by: str = "turn_idx",
+    keep_col: str = "rl_keep",
+) -> DataFrame:
+    """Linux-style ratelimiter (interval, burst) — ratelimit.c:145-205:
+    allow ``burst`` messages per interval window per limiter; mark the
+    rest. The reference counts and reports discards; we mark with a
+    boolean so the caller can route or drop (discard count = filter)."""
+    win = F.window(F.col(ts_col), f"{interval_s} seconds")
+    w = Window.partitionBy(F.col(source_col), win).orderBy(order_by)
+    return df.withColumn(keep_col, F.row_number().over(w) <= burst)
+
+
+def exec_only_every_nth(
+    df: DataFrame,
+    n: int,
+    partition_by: str = "conv_id",
+    order_by: str = "turn_idx",
+    keep_col: str = "nth_keep",
+) -> DataFrame:
+    """action.execonlyeverynthtime (action.c:1865-1885): pass every Nth
+    matching message."""
+    w = _w(partition_by, order_by)
+    return df.withColumn(
+        keep_col, (F.row_number().over(w) % n) == 0
+    )
+
+
+def exec_only_once_every_interval(
+    df: DataFrame,
+    interval_s: int,
+    partition_by: str = "conv_id",
+    ts_col: str = "ts",
+    order_by: str = "turn_idx",
+    keep_col: str = "once_keep",
+) -> DataFrame:
+    """action.execonlyonceeveryinterval (action.c:1892-1897): at most one
+    message per interval per partition."""
+    win = F.window(F.col(ts_col), f"{interval_s} seconds")
+    w = Window.partitionBy(F.col(partition_by), win).orderBy(order_by)
+    return df.withColumn(keep_col, F.row_number().over(w) == 1)
+
+
+def seq_check(
+    df: DataFrame,
+    partition_by: str = "conv_id",
+    idx_col: str = "turn_idx",
+) -> DataFrame:
+    """seq_check analog (tests/diag.sh:460-464): verify each partition's
+    index sequence is gap-free 0..N-1. Returns offending partitions
+    (empty result == pass)."""
+    agg = df.groupBy(partition_by).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min(idx_col).alias("lo"),
+        F.max(idx_col).alias("hi"),
+        F.countDistinct(idx_col).alias("nd"),
+    )
+    return agg.filter(
+        ~((F.col("lo") == 0) & (F.col("hi") == F.col("n") - 1) & (F.col("nd") == F.col("n")))
+    )
