@@ -1,0 +1,136 @@
+"""Message-modification operators (rsyslog mm* plugins) as DataFrame ops.
+
+Each mm* plugin is a message -> message transform inserted between parse
+and routing (SURVEY §2.2 bottom rows). All are pure column expressions —
+no UDFs, full codegen — except where noted.
+
+- mm_jsonparse   ≙ plugins/mmjsonparse/mmjsonparse.c (403 LoC)
+- mm_fields      ≙ plugins/mmfields/mmfields.c (extractField :181-236)
+- mm_rm1stspace  ≙ contrib/mmrm1stspace (drop leading MSG space)
+- mm_anon        ≙ plugins/mmanon (IPv4 anonymization, zero low bits)
+- mm_pstrucdata  ≙ plugins/mmpstrucdata (RFC5424 SD -> $!rfc5424-sd tree)
+- mm_utf8fix     ≙ plugins/mmutf8fix — no-op here: Spark strings are
+  already valid UTF-8 by construction (documented).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+CEE_COOKIE = "@cee:"
+
+
+def mm_jsonparse(
+    df: DataFrame,
+    msg_col: str = "msg",
+    out: str = "cee",
+    require_cookie: bool = False,
+    cookie: str = CEE_COOKIE,
+    flag_col: str = "cee_parsed",
+) -> DataFrame:
+    """Parse (optionally @cee:-cookied) JSON MSG into a string map.
+
+    mmjsonparse.c: looks for the CEE cookie, parses the remainder into
+    the ``$!`` tree; sets $!msg parse status. The ``$!`` tree is our
+    map<string,string> column (SURVEY §1.3) — scalars coerced to their
+    string forms (var2String rules, grammar/rainerscript.c:1432-1456).
+    """
+    msg = F.col(msg_col)
+    stripped = F.when(
+        msg.startswith(cookie), F.ltrim(F.substring(msg, len(cookie) + 1, 2**30))
+    ).otherwise(msg)
+    candidate = (
+        stripped if not require_cookie else F.when(msg.startswith(cookie), stripped)
+    )
+    parsed = F.from_json(candidate, "map<string,string>")
+    return df.withColumn(out, parsed).withColumn(flag_col, parsed.isNotNull())
+
+
+def mm_fields(
+    df: DataFrame,
+    sep: str = ",",
+    msg_col: str = "msg",
+    out: str = "fields",
+) -> DataFrame:
+    """Split MSG on a 1-char separator into ``$!f1..fN``
+    (parse_fields, mmfields.c:181-236; names "f%d" at :226).
+
+    Output is a map<string,string> {f1: ..., fN: ...} — consecutive
+    separators produce empty fields, exactly like extractField.
+    """
+    import re as _re
+
+    parts = F.split(F.col(msg_col), _re.escape(sep))
+    keys = F.transform(
+        F.sequence(F.lit(1), F.size(parts)),
+        lambda n: F.concat(F.lit("f"), n.cast("string")),
+    )
+    return df.withColumn(out, F.map_from_arrays(keys, parts))
+
+
+def mm_rm1stspace(df: DataFrame, msg_col: str = "msg") -> DataFrame:
+    """Drop ONE leading space from MSG (contrib/mmrm1stspace) — undoes
+    the RFC3164 'MSG begins after TAG, often with a space' quirk."""
+    msg = F.col(msg_col)
+    return df.withColumn(
+        msg_col,
+        F.when(msg.startswith(" "), F.substring(msg, 2, 2**30)).otherwise(msg),
+    )
+
+
+_IPV4_RE = r"((25[0-5]|2[0-4][0-9]|1?[0-9]?[0-9])\.){3}(25[0-5]|2[0-4][0-9]|1?[0-9]?[0-9])"
+
+
+def mm_anon(
+    df: DataFrame,
+    msg_col: str = "msg",
+    bits: int = 16,
+    out: str | None = None,
+) -> DataFrame:
+    """Anonymize IPv4 addresses in MSG (plugins/mmanon, zero mode).
+
+    Default ipv4.bits=16 zeroes the low two octets (mmanon's default is
+    16 bits, zero replacement). Implemented for octet-aligned widths
+    (8/16/24) as a regex rewrite — stays in codegen.
+    """
+    if bits not in (8, 16, 24):
+        raise ValueError("mm_anon supports octet-aligned bits: 8, 16, 24")
+    keep = 4 - bits // 8
+    pat = r"\b(\d{1,3})\.(\d{1,3})\.(\d{1,3})\.(\d{1,3})\b"
+    repl = ".".join([f"${n}" for n in range(1, keep + 1)] + ["0"] * (bits // 8))
+    return df.withColumn(out or msg_col, F.regexp_replace(F.col(msg_col), pat, repl))
+
+
+def mm_pstrucdata(
+    df: DataFrame,
+    sd_col: str = "structured_data",
+    out: str = "sd",
+) -> DataFrame:
+    """Parse RFC5424 STRUCTURED-DATA into a map (plugins/mmpstrucdata).
+
+    ``[id k1="v1" k2="v2"]`` -> {"id": id, "k1": v1, ...}. Single
+    SD-element support (the overwhelmingly common case); multi-element
+    SD keeps the raw string available in ``structured_data``.
+    """
+    sd = F.col(sd_col)
+    inner = F.regexp_extract(sd, r"^\[([^\]]*)\]", 1)
+    sd_id = F.regexp_extract(inner, r"^(\S+)", 1)
+    kvs = F.expr(
+        f"regexp_extract_all(regexp_extract({sd_col}, '^\\\\[([^\\\\]]*)\\\\]', 1), "
+        "'(\\\\S+)=\"([^\"]*)\"', 0)"
+    )
+    keys = F.transform(kvs, lambda s: F.regexp_extract(s, '^(\\S+)="', 1))
+    vals = F.transform(kvs, lambda s: F.regexp_extract(s, '="([^"]*)"$', 1))
+    m = F.map_from_arrays(
+        F.concat(F.array(F.lit("id")), keys),
+        F.concat(F.array(sd_id), vals),
+    )
+    return df.withColumn(out, F.when(sd.isNotNull() & (sd != "-"), m))
+
+
+def mm_utf8fix(df: DataFrame, msg_col: str = "msg") -> DataFrame:
+    """plugins/mmutf8fix analog: Spark strings are valid UTF-8 already
+    (invalid bytes were replaced at read time); identity transform kept
+    for config parity."""
+    return df

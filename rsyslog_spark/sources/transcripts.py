@@ -103,14 +103,21 @@ def _body(dialect: str) -> str:
     """
 
 
-def transcripts_sql_duckdb(sf_dir: str, replicas: int = 1) -> str:
-    """DuckDB SELECT producing the transcript table for an sf dir."""
+def transcripts_sql_duckdb(
+    sf_dir: str | None, replicas: int = 1, relation: str | None = None
+) -> str:
+    """DuckDB SELECT producing the transcript table for an sf dir.
+
+    ``relation`` overrides the events source with a registered view name
+    (the driver pre-registers ``events`` — used by the oracle SQL).
+    """
+    src = relation or f"'{sf_dir}/events.parquet'"
     if replicas == 1:
-        rel = f"(SELECT event_id AS i FROM '{sf_dir}/events.parquet')"
+        rel = f"(SELECT event_id AS i FROM {src})"
     else:
         rel = (
             f"(SELECT event_id * {replicas} + r.range AS i "
-            f"FROM '{sf_dir}/events.parquet' CROSS JOIN range({replicas}) r)"
+            f"FROM {src} CROSS JOIN range({replicas}) r)"
         )
     return _body("duckdb") + f" FROM {rel} t"
 

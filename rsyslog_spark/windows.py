@@ -109,6 +109,32 @@ def exec_only_once_every_interval(
     return df.withColumn(keep_col, F.row_number().over(w) == 1)
 
 
+def seq_summary(
+    df: DataFrame,
+    partition_by: str = "conv_id",
+    idx_col: str = "turn_idx",
+) -> DataFrame:
+    """Per-partition sequence summary: (partition, n_turns, gap_free).
+
+    The positive form of seq_check — one row per partition so the result
+    is verifiable even when everything passes."""
+    agg = df.groupBy(partition_by).agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        F.min(idx_col).alias("_lo"),
+        F.max(idx_col).alias("_hi"),
+        F.countDistinct(idx_col).alias("_nd"),
+    )
+    return agg.select(
+        partition_by,
+        "n_turns",
+        (
+            (F.col("_lo") == 0)
+            & (F.col("_hi") == F.col("n_turns") - 1)
+            & (F.col("_nd") == F.col("n_turns"))
+        ).alias("gap_free"),
+    )
+
+
 def seq_check(
     df: DataFrame,
     partition_by: str = "conv_id",
