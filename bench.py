@@ -1,0 +1,144 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "rows": ...,
+   "throughput_rows_per_sec": ...}
+
+Optional scaling evidence (north rule: >=0.8 efficiency from N to 4N):
+  SPARK_GRAFT_SCALING="8,32" python bench.py
+adds {"scaling": {"cores_lo": .., "cores_hi": .., "sec_lo": ..,
+"sec_hi": .., "efficiency": ..}} — same job, two parallelism levels
+(sandbox stand-in for N vs 4N executors, see BASELINE.md §sandbox).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+REPLICAS = int(os.environ.get("SPARK_GRAFT_REPLICAS", "1"))
+
+
+def _fresh_spark(cores: int):
+    from pyspark.sql import SparkSession
+
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        active.stop()
+        # local master cannot change on getOrCreate; force a new context
+        SparkSession._instantiatedSession = None
+
+    from rsyslog_spark.session import get_spark
+
+    return get_spark(app_name=f"bench_{cores}", cores=cores)
+
+
+def _flagship(spark, sf_dir: str, replicas: int):
+    """End-to-end: transcripts -> parse -> enrich -> route -> per-sink
+    counts + parse-failure metric (the north-rule pipeline)."""
+    from rsyslog_spark.pipeline import build_flagship
+    from rsyslog_spark.sources.transcripts import transcripts_spark
+
+    t = transcripts_spark(spark, sf_dir, replicas=replicas)
+    annotated, actions = build_flagship(t)
+    agg = annotated.agg(
+        F.count(F.lit(1)).alias("rows"),
+        *[F.sum(F.col(a.pred_col).cast("long")).alias(a.sink) for a in actions],
+    ).collect()[0]
+    return int(agg["rows"])
+
+
+def _count(df) -> int:
+    return df.count()
+
+
+def bench_queries(spark, sf_dir: str, replicas: int) -> tuple[dict, int]:
+    import __spark_entry__ as E
+    from rsyslog_spark import agg as A
+    from rsyslog_spark import windows as W
+    from rsyslog_spark.parse import with_parsed
+    from rsyslog_spark.sources.transcripts import transcripts_spark
+
+    t = transcripts_spark(spark, sf_dir, replicas=replicas)
+    parsed = with_parsed(t, require_header=True)
+
+    # warm-up: spin Python UDF workers + JIT/codegen once (excluded from
+    # timings — steady-state throughput is the number that scales)
+    with_parsed(t.limit(2000), require_header=True).select("parser").count()
+
+    runs: list[tuple[str, callable]] = [
+        ("flagship_e2e", lambda: _flagship(spark, sf_dir, replicas)),
+        ("parse_chain", lambda: _count(parsed.select("parser", "msg"))),
+        (
+            "route_archive_lines",
+            lambda: _count(E.q_route_archive_lines(spark, sf_dir)),
+        ),
+        (
+            "dyn_inc",
+            lambda: _count(A.dyn_inc(parsed, "b", "programname")),
+        ),
+        (
+            "repeat_suppression",
+            lambda: _count(W.repeat_suppression(t, msg_col="role")),
+        ),
+        ("rate_limit", lambda: _count(W.rate_limit(t, 60, 5))),
+    ]
+    timings: dict[str, float] = {}
+    rows = 0
+    for name, fn in runs:
+        t0 = time.monotonic()
+        n = fn()
+        timings[name] = round(time.monotonic() - t0, 3)
+        if name == "flagship_e2e":
+            rows = n
+    return timings, rows
+
+
+def run_once(cores: int) -> tuple[dict, int, float]:
+    spark = _fresh_spark(cores)
+    timings, rows = bench_queries(spark, SF_DIR, REPLICAS)
+    total = round(sum(timings.values()), 3)
+    return timings, rows, total
+
+
+def main():
+    timings, rows, total = run_once(CPUS)
+    out = {
+        "metric": "end-to-end parse->enrich->route->aggregate wall time",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
+        "rows": rows,
+        "cpus": CPUS,
+        "throughput_rows_per_sec": round(rows / timings["flagship_e2e"], 1),
+    }
+
+    scaling = os.environ.get("SPARK_GRAFT_SCALING")
+    if scaling:
+        lo, hi = (int(x) for x in scaling.split(","))
+        t_lo = run_once(lo)[0]["flagship_e2e"]
+        t_hi = run_once(hi)[0]["flagship_e2e"]
+        eff = (t_lo / t_hi) / (hi / lo)
+        out["scaling"] = {
+            "cores_lo": lo,
+            "cores_hi": hi,
+            "sec_lo": t_lo,
+            "sec_hi": t_hi,
+            "efficiency": round(eff, 3),
+        }
+
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -44,6 +44,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
+from rsyslog_spark.parse import fastre
 from rsyslog_spark.parse.pm5424 import _RE_TS3339, parse_ts3339
 
 _MONTHS = "Jan|Feb|Mar|Apr|May|Jun|Jul|Aug|Sep|Oct|Nov|Dec"
@@ -60,16 +61,24 @@ _TS3164_BODY = (
     rf"(?P<mon>{_MONTHS}) (?P<day> ?\d|\d\d) "
     r"(?P<h>\d{2}):(?P<mi>\d{2}):(?P<s>\d{2})"
 )
-_RE_TS3164_HEAD = rf"^{_TS3164_BODY}(?= |$)"
-_RE_TS3164_HP = rf"^ {_TS3164_BODY}(?= |$)"
+# each cascade step is ONE extract capturing both the timestamp and the
+# remainder ("consume ts + one SP delimiter", datetime.c behavior) —
+# a second strip pass over the same strings would double the regex cost.
+_RE_TS3164_HEAD = rf"^{_TS3164_BODY}(?:$| (?P<rest>[\s\S]*)$)"
+_RE_TS3164_HP = rf"^ {_TS3164_BODY}(?:$| (?P<rest>[\s\S]*)$)"
 
 _RE_TS3339_BODY = _RE_TS3339[1:-1]  # strip ^ $ anchors
-_RE_TS3339_HEAD = rf"^(?P<all>{_RE_TS3339_BODY})(?= |$)"
+_RE_TS3339_HEAD = rf"^(?P<all>{_RE_TS3339_BODY})(?:$| (?P<rest>[\s\S]*)$)"
 
-# hostname cases (see point 4 above)
-_RE_HOST_FULL = r"^[A-Za-z0-9._-]+$"
-_RE_HOST_SP = r"^[A-Za-z0-9._-]*[A-Za-z0-9] "
-_RE_HOST_EXTRACT = r"^([A-Za-z0-9._-]+)"
+# hostname heuristic as ONE alternation (see point 4 above): entire
+# remainder is host, OR host with alnum last char followed by SP.
+_RE_HOST = (
+    r"^(?:(?P<hfull>[A-Za-z0-9._-]+)$"
+    r"|(?P<hsp>[A-Za-z0-9._-]*[A-Za-z0-9]) (?P<hrest>[\s\S]*)$)"
+)
+
+# TAG up to ':' (consumed, kept in TAG) or SP (not consumed -> MSG)
+_RE_TAG = r"^(?P<tag>[^: ]*)(?P<colon>:?)(?P<mrest>[\s\S]*)$"
 
 
 def _estimate_year(mon: pd.Series, recv_ts: pd.Series) -> pd.Series:
@@ -131,65 +140,62 @@ def parse_3164(
 
     # 1 + 2: rows with no header to parse
     fac_invld = facility == 24
-    headerless = ~fac_invld & s.str.match(r"^[ \t]*[\{\[]")
+    headerless = ~fac_invld & fastre.matches(s, r"^[ \t]*[\{\[]")
     noheader = fac_invld | headerless
     msg[noheader] = s[noheader]
 
     rest = s[~noheader].copy()
 
-    # 3. timestamp cascade: 3339 -> 3164 -> HP retry
-    g39 = rest.str.extract(_RE_TS3339_HEAD)
+    # 3. timestamp cascade: 3339 -> 3164 -> HP retry (one extract each,
+    # run only on the rows still unmatched)
+    g39 = fastre.extract(rest, _RE_TS3339_HEAD)
     m39 = g39["all"].notna()
     if m39.any():
         i39 = g39.index[m39]
         ts_text[i39] = g39.loc[i39, "all"]
         t = parse_ts3339(g39.loc[i39, "all"])
         timereported[i39] = t.where(t.notna(), recv_ts[i39]).astype("datetime64[us]")
-        rest.loc[i39] = rest.loc[i39].str.replace(
-            _RE_TS3339_HEAD + " ?", "", regex=True
-        )
+        rest.loc[i39] = g39.loc[i39, "rest"].fillna("")
 
     un = rest.index[~m39]
-    g64 = rest.loc[un].str.extract(_RE_TS3164_HEAD)
+    g64 = fastre.extract(rest.loc[un], _RE_TS3164_HEAD)
     m64 = g64["mon"].notna()
     if m64.any():
         i64 = g64.index[m64]
         txt, t = _ts3164_values(g64.loc[i64], recv_ts[i64])
         ts_text[i64] = txt
         timereported[i64] = t
-        rest.loc[i64] = rest.loc[i64].str.replace(
-            _RE_TS3164_HEAD + " ?", "", regex=True
-        )
+        rest.loc[i64] = g64.loc[i64, "rest"].fillna("")
 
     unhp = g64.index[~m64]
-    ghp = rest.loc[unhp].str.extract(_RE_TS3164_HP)
-    mhp = ghp["mon"].notna()
-    if mhp.any():
-        ihp = ghp.index[mhp]
-        txt, t = _ts3164_values(ghp.loc[ihp], recv_ts[ihp])
-        ts_text[ihp] = txt
-        timereported[ihp] = t
-        rest.loc[ihp] = rest.loc[ihp].str.replace(
-            _RE_TS3164_HP + " ?", "", regex=True
-        )
+    if len(unhp):
+        ghp = fastre.extract(rest.loc[unhp], _RE_TS3164_HP)
+        mhp = ghp["mon"].notna()
+        if mhp.any():
+            ihp = ghp.index[mhp]
+            txt, t = _ts3164_values(ghp.loc[ihp], recv_ts[ihp])
+            ts_text[ihp] = txt
+            timereported[ihp] = t
+            rest.loc[ihp] = ghp.loc[ihp, "rest"].fillna("")
 
-    # 4. hostname heuristic
-    is_host = rest.str.match(_RE_HOST_SP) | rest.str.match(_RE_HOST_FULL)
-    hi = rest.index[is_host]
-    if len(hi):
-        hostname[hi] = rest.loc[hi].str.extract(_RE_HOST_EXTRACT)[0]
-        rest.loc[hi] = rest.loc[hi].str.replace(
-            _RE_HOST_EXTRACT + " ?", "", regex=True
-        )
+    # 4. hostname heuristic (one extract). Branch detection must be by
+    # NON-EMPTINESS: both host groups are 1+ chars when their branch
+    # matched, and RE2 reports non-participating groups as "" (fastre).
+    gh = fastre.extract(rest, _RE_HOST)
+    full = gh["hfull"].notna() & (gh["hfull"] != "")
+    sp = gh["hsp"].notna() & (gh["hsp"] != "")
+    if full.any():
+        hostname[gh.index[full]] = gh.loc[full, "hfull"]
+        rest.loc[gh.index[full]] = ""
+    if sp.any():
+        hostname[gh.index[sp]] = gh.loc[sp, "hsp"]
+        rest.loc[gh.index[sp]] = gh.loc[sp, "hrest"]
 
     # 5. TAG: ':' is part of TAG and consumed; SP stays in MSG
-    has_colon = rest.str.match(r"^[^: ]*:")
-    tg = rest.str.extract(r"^([^: ]*):?")[0].fillna("")
-    tag[rest.index] = np.where(has_colon, tg + ":", tg)
-    msg_rest = rest.str.replace(r"^[^: ]*:?", "", regex=True)
-    # when TAG ended at SP the replace above didn't eat the SP (the
-    # pattern excludes SP) -> SP correctly remains in MSG.
-    msg[rest.index] = msg_rest
+    # (one extract; when TAG ends at SP the SP lands in mrest -> MSG)
+    gt = fastre.extract(rest, _RE_TAG)
+    tag[rest.index] = (gt["tag"].fillna("") + gt["colon"].fillna("")).values
+    msg[rest.index] = gt["mrest"].fillna("").values
 
     if require_header:
         accepted = noheader | has_pri | ts_text.notna()

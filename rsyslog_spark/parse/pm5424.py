@@ -26,6 +26,8 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
+from rsyslog_spark.parse import fastre
+
 # header + SD + optional MSG, in one extract.  SD group: '-' or 1+
 # bracket groups where the interior allows any escaped char.
 _RE_5424 = (
@@ -34,8 +36,9 @@ _RE_5424 = (
 )
 
 _RE_TS3339 = (
-    r"^(\d{4})-(\d{2})-(\d{2})[Tt](\d{2}):(\d{2}):(\d{2})(\.\d+)?"
-    r"([Zz]|[+-]\d{2}:\d{2})$"
+    r"^(?P<y>\d{4})-(?P<mo>\d{2})-(?P<d>\d{2})[Tt](?P<hh>\d{2}):"
+    r"(?P<mi>\d{2}):(?P<sec>\d{2})(?P<frac>\.\d+)?"
+    r"(?P<zone>[Zz]|[+-]\d{2}:\d{2})$"
 )
 
 
@@ -46,18 +49,18 @@ def parse_ts3339(ts: pd.Series) -> pd.Series:
     normalized to UTC (the reference keeps the zone in struct syslogTime;
     our engine stores instants in UTC, session tz pinned to UTC).
     """
-    g = ts.str.extract(_RE_TS3339)
-    ok = g[0].notna()
+    g = fastre.extract(ts, _RE_TS3339)
+    ok = g["y"].notna()
     out = pd.Series(pd.NaT, index=ts.index, dtype="datetime64[us]")
     if ok.any():
-        frac = g.loc[ok, 6].fillna("")
+        frac = g.loc[ok, "frac"].fillna("")
         base = (
-            g.loc[ok, 0] + "-" + g.loc[ok, 1] + "-" + g.loc[ok, 2]
-            + " " + g.loc[ok, 3] + ":" + g.loc[ok, 4] + ":" + g.loc[ok, 5]
-            + frac
+            g.loc[ok, "y"] + "-" + g.loc[ok, "mo"] + "-" + g.loc[ok, "d"]
+            + " " + g.loc[ok, "hh"] + ":" + g.loc[ok, "mi"] + ":"
+            + g.loc[ok, "sec"] + frac
         )
         parsed = pd.to_datetime(base, format="ISO8601", errors="coerce")
-        zone = g.loc[ok, 7].str.upper()
+        zone = g.loc[ok, "zone"].str.upper()
         offs = pd.Series(pd.Timedelta(0), index=zone.index)
         has_off = zone != "Z"
         if has_off.any():
@@ -77,7 +80,7 @@ def parse_5424(after_pri: pd.Series, recv_ts: pd.Series) -> pd.DataFrame:
     """
     n = len(after_pri)
     s = after_pri.fillna("")
-    accepted = s.str.startswith("1 ")
+    accepted = fastre.startswith(s, "1 ")
 
     out = pd.DataFrame(
         {
@@ -98,7 +101,7 @@ def parse_5424(after_pri: pd.Series, recv_ts: pd.Series) -> pd.DataFrame:
     if not accepted.any():
         return out
 
-    g = s[accepted].str.extract(_RE_5424)
+    g = fastre.extract(s[accepted], _RE_5424)
     matched = g["ts"].notna()
     # Rows passing the "1 " guard but failing the full header regex are
     # still owned by this parser (the guard decided, pmrfc5424.c:224-226);

@@ -9,51 +9,44 @@ Semantics replicated (defaults as in the reference):
   control char and is escaped too.
 - 8-bit escaping and LF->space rewriting are off by default -> not applied.
 
-Fast path: rows with no control characters are handled natively (stay in
-codegen); only dirty rows cross into the Arrow UDF.
+Implementation note: 100% native expressions — NO Python in this path.
+A conditional pandas UDF is a trap at scale: Spark extracts Python UDFs
+out of CASE WHEN and evaluates them on EVERY row, so the "rare dirty
+row" path would cost Arrow round-trips for the clean 99% too. Instead
+the escape is a constant chain of 30 single-char replaces (one codegen'd
+JVM pass each), gated behind one rlike so clean rows short-circuit.
 """
 
 from __future__ import annotations
 
-import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
 _CTRL_RE = "[\\x00-\\x1f]"
 
-# char -> '#NNN' octal escape, for codes 0..31 (parser.c:528-534 octal mode)
-_ESC_TABLE = {c: "#%03o" % c for c in range(0x20)}
 
-
-def _sanitize_series(s: pd.Series) -> pd.Series:
-    """Vectorized sanitize for rows known to contain control chars."""
-    # trailing NUL then trailing LF, as the C code does in that order
-    s = s.str.replace("\\x00$", "", regex=True)
-    s = s.str.replace("\\n$", "", regex=True)
-    dirty = s.str.contains(_CTRL_RE, regex=True, na=False)
-    if dirty.any():
-        s = s.copy()
-        s[dirty] = s[dirty].map(
-            lambda v: v.translate(_ESC_TABLE) if isinstance(v, str) else v
-        )
-    return s
-
-
-@F.pandas_udf(T.StringType())
-def _sanitize_udf(s: pd.Series) -> pd.Series:  # pragma: no cover - thin
-    return _sanitize_series(s)
+def _escape_ctrl(col: Column) -> Column:
+    """Chain of replace() calls: control char c -> '#%03o' % c
+    (parser.c:528-534, octal mode with '#'). NUL/LF excluded — handled
+    as trailing-strip before this (a mid-string NUL cannot survive C
+    string handling; mid-string LF is escaped)."""
+    out = col
+    for c in range(0x20):
+        if c == 0x00:
+            continue
+        out = F.replace(out, F.lit(chr(c)), F.lit("#%03o" % c))
+    return out
 
 
 def sanitize_expr(raw: Column) -> Column:
     """Sanitized form of a raw message column.
 
-    Clean rows (the overwhelming majority) never leave the JVM: a single
-    rlike gate routes only control-char rows through the Arrow UDF. A row
-    without control chars has no trailing NUL/LF either (both are control
-    chars), so the clean branch is the identity.
-    """
-    return F.when(raw.rlike(_CTRL_RE), _sanitize_udf(raw)).otherwise(raw)
+    Clean rows (the overwhelming majority) are the identity via a single
+    rlike gate; a row without control chars has no trailing NUL/LF
+    either (both are control chars)."""
+    stripped = F.regexp_replace(raw, "\\x00$", "")
+    stripped = F.regexp_replace(stripped, "\\n$", "")
+    return F.when(raw.rlike(_CTRL_RE), _escape_ctrl(stripped)).otherwise(raw)
 
 
 def with_sanitized(

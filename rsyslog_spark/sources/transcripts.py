@@ -130,7 +130,16 @@ def transcripts_spark(
     At 10^12-turn scale this is where the real Iceberg scan happens; the
     derived table stands in for it with identical shape and skew profile.
     """
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # the driver testdata is a single parquet file -> a single input
+    # partition; spread the seed rows across the cluster BEFORE the
+    # (explode, window, text-construction) work or everything downstream
+    # of the scan runs in one task. At real scale the Iceberg table has
+    # thousands of files and this shuffle of the tiny seed is free.
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("event_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
     ev.createOrReplaceTempView("_ts_events")
     if replicas == 1:
         rel = "(SELECT event_id AS i FROM _ts_events)"

@@ -8,7 +8,7 @@ import pandas as pd
 import pytest
 
 from rsyslog_spark.parse.chain import parse_chain_pd
-from rsyslog_spark.parse.sanitize import _sanitize_series
+
 
 RECV = pd.Timestamp("2024-06-15 12:00:00")
 
@@ -160,25 +160,22 @@ class TestRFC5424:
 
 
 class TestSanitize:
-    def test_control_char_octal_escape(self):
-        s = _sanitize_series(pd.Series(["ab\x07cd"]))
-        assert s.iloc[0] == "ab#007cd"
+    """sanitize is 100% native expressions now; exercise via Spark."""
 
-    def test_tab_escaped(self):
-        s = _sanitize_series(pd.Series(["a\tb"]))
-        assert s.iloc[0] == "a#011b"
+    def _san(self, spark, vals):
+        from rsyslog_spark.parse.sanitize import with_sanitized
 
-    def test_trailing_lf_dropped_not_escaped(self):
-        s = _sanitize_series(pd.Series(["hello\n"]))
-        assert s.iloc[0] == "hello"
+        df = spark.createDataFrame([(v,) for v in vals], "text string")
+        return [r["rawmsg"] for r in with_sanitized(df).collect()]
 
-    def test_inner_lf_escaped(self):
-        s = _sanitize_series(pd.Series(["a\nb\n"]))
-        assert s.iloc[0] == "a#012b"
-
-    def test_clean_untouched(self):
-        s = _sanitize_series(pd.Series(["plain text"]))
-        assert s.iloc[0] == "plain text"
+    def test_sanitize_semantics(self, spark):
+        got = self._san(
+            spark,
+            ["ab\x07cd", "a\tb", "hello\n", "a\nb\n", "plain text"],
+        )
+        # octal '#NNN' escapes (parser.c:528-534); ONE trailing LF
+        # dropped (parser.c:415-421), inner LF escaped; clean untouched
+        assert got == ["ab#007cd", "a#011b", "hello", "a#012b", "plain text"]
 
 
 class TestChain:
