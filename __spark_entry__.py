@@ -283,6 +283,146 @@ def q_impstats(spark, sf_dir):
     return A.impstats(_parsed(spark, sf_dir))
 
 
+# --- training-data ops (rsyslog_spark.dataops) -----------------------------
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _embs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def q_dedup_exact(spark, sf_dir):
+    from rsyslog_spark.dataops.dedup import exact_dedup_groups
+
+    return exact_dedup_groups(_docs(spark, sf_dir))
+
+
+def q_dedup_minhash_sigs(spark, sf_dir):
+    from rsyslog_spark.dataops.dedup import minhash_signatures, shingles
+
+    return minhash_signatures(shingles(_docs(spark, sf_dir)))
+
+
+def q_dedup_minhash_pairs(spark, sf_dir):
+    from rsyslog_spark.dataops.dedup import (
+        jaccard_pairs,
+        minhash_candidate_pairs,
+        minhash_signatures,
+        shingles,
+    )
+
+    sh = shingles(_docs(spark, sf_dir))
+    cand = minhash_candidate_pairs(minhash_signatures(sh))
+    return jaccard_pairs(sh, pairs=cand)
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    from rsyslog_spark.dataops.dedup import jaccard_pairs, shingles
+
+    sh = shingles(_docs(spark, sf_dir))
+    return jaccard_pairs(sh, threshold=0.05)
+
+
+def q_dedup_simhash(spark, sf_dir):
+    from rsyslog_spark.dataops.dedup import shingles, simhash
+
+    return simhash(shingles(_docs(spark, sf_dir)))
+
+
+def q_simhash_hamming(spark, sf_dir):
+    from rsyslog_spark.dataops.dedup import hamming_pairs, shingles, simhash
+
+    return hamming_pairs(simhash(shingles(_docs(spark, sf_dir))),
+                         max_dist=16)
+
+
+def q_embedding_topk(spark, sf_dir):
+    from rsyslog_spark.dataops.similarity import topk_bruteforce
+
+    e = _embs(spark, sf_dir)
+    return topk_bruteforce(e, e.filter(F.col("vec_id") < 10), k=5)
+
+
+def q_embedding_neardup(spark, sf_dir):
+    from rsyslog_spark.dataops.similarity import neardup_pairs
+
+    return neardup_pairs(_embs(spark, sf_dir), threshold=0.4)
+
+
+def q_embedding_lsh_topk(spark, sf_dir):
+    from rsyslog_spark.dataops.similarity import topk_lsh
+
+    e = _embs(spark, sf_dir)
+    return topk_lsh(e, e.filter(F.col("vec_id") < 10), k=5)
+
+
+def q_lang_id(spark, sf_dir):
+    from rsyslog_spark.dataops.textstats import lang_id
+
+    out = lang_id(_docs(spark, sf_dir))
+    return out.select(
+        "doc_id", "score_en", "score_es", "score_fr", "score_de", "lang_pred"
+    )
+
+
+def q_quality(spark, sf_dir):
+    from rsyslog_spark.dataops.textstats import quality_score
+
+    out = quality_score(_docs(spark, sf_dir))
+    return out.select(
+        "doc_id", "n_tokens", "mean_tok_len", "punct_ratio",
+        "stop_ratio", "quality",
+    )
+
+
+def q_token_counts(spark, sf_dir):
+    from rsyslog_spark.dataops.textstats import token_counts
+
+    return token_counts(_docs(spark, sf_dir)).select(
+        "doc_id", "ws_tokens", "bpe_tokens"
+    )
+
+
+def q_fingerprint(spark, sf_dir):
+    from rsyslog_spark.dataops.textstats import fingerprint
+
+    return fingerprint(_docs(spark, sf_dir))
+
+
+def q_multimodal_meta(spark, sf_dir):
+    from rsyslog_spark.dataops.multimodal import with_binary_payload
+
+    out = with_binary_payload(_docs(spark, sf_dir))
+    return out.select(
+        "doc_id",
+        F.col("media_meta.nbytes").alias("nbytes"),
+        F.col("media_meta.digest").alias("digest"),
+    )
+
+
+def q_multimodal_features(spark, sf_dir):
+    from rsyslog_spark.dataops.multimodal import (
+        extract_features,
+        with_binary_payload,
+    )
+
+    out = extract_features(with_binary_payload(_docs(spark, sf_dir)))
+    return out.select(
+        F.col("id").alias("doc_id"),
+        "nbytes",
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.col("features"),
+                lambda x: F.format_string("%.6f", x.cast("double")),
+            ),
+        ).alias("features_csv"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "parse_rfc3164": q_parse_rfc3164,
@@ -310,6 +450,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_pstrucdata": q_mm_pstrucdata,
         "rs_functions": q_rs_functions,
         "impstats": q_impstats,
+        "dedup_exact": q_dedup_exact,
+        "dedup_minhash_sigs": q_dedup_minhash_sigs,
+        "dedup_minhash_pairs": q_dedup_minhash_pairs,
+        "ngram_jaccard": q_ngram_jaccard,
+        "dedup_simhash": q_dedup_simhash,
+        "simhash_hamming": q_simhash_hamming,
+        "embedding_topk": q_embedding_topk,
+        "embedding_neardup": q_embedding_neardup,
+        "embedding_lsh_topk": q_embedding_lsh_topk,
+        "lang_id": q_lang_id,
+        "quality": q_quality,
+        "token_counts": q_token_counts,
+        "fingerprint": q_fingerprint,
+        "multimodal_meta": q_multimodal_meta,
+        "multimodal_features": q_multimodal_features,
     }
 
 
@@ -489,6 +644,193 @@ def oracle_sql() -> dict[str, str]:
         "substr(msg, 2, 6) AS sub, "
         "'\"' || programname || '\"' AS wrapped "
         "FROM p WHERE parse_success"
+    )
+    # --- dataops oracles ---------------------------------------------------
+    _SH = (
+        "toks AS (SELECT doc_id AS id, string_split(text, ' ') AS w "
+        "FROM documents), "
+        "sh AS (SELECT DISTINCT id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] "
+        "AS sh FROM toks, unnest(generate_series(1, len(w) - 2)) AS t(i))"
+    )
+    _SIGS = (
+        "sigs AS (SELECT id, band, "
+        "min(md5(CAST(band AS VARCHAR) || ':' || sh)) AS sig "
+        "FROM sh, unnest(generate_series(0, 7)) AS bb(band) "
+        "GROUP BY id, band)"
+    )
+    _CAND = (
+        "cand AS (SELECT DISTINCT l.id AS a, r.id AS b FROM sigs l "
+        "JOIN sigs r ON l.band = r.band AND l.sig = r.sig AND l.id < r.id)"
+    )
+    _SIZES = "sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id)"
+    _CO = (
+        "co AS (SELECT x.id AS a, y.id AS b, count(*) AS inter FROM sh x "
+        "JOIN sh y ON x.sh = y.sh AND x.id < y.id GROUP BY 1, 2)"
+    )
+    _JAC = (
+        "jac AS (SELECT co.a, co.b, co.inter, "
+        "sa.sz + sb.sz - co.inter AS union_n, "
+        "round(co.inter / (sa.sz + sb.sz - co.inter), 4) AS jac "
+        "FROM co JOIN sizes sa ON co.a = sa.id "
+        "JOIN sizes sb ON co.b = sb.id)"
+    )
+    o["dedup_exact"] = (
+        "SELECT md5(text) AS content_hash, count(*) AS n, "
+        "min(doc_id) AS keep_id FROM documents GROUP BY 1"
+    )
+    o["dedup_minhash_sigs"] = (
+        f"WITH {_SH}, {_SIGS} SELECT id, CAST(band AS INT) AS band, sig "
+        "FROM sigs"
+    )
+    o["dedup_minhash_pairs"] = (
+        f"WITH {_SH}, {_SIGS}, {_CAND}, {_SIZES}, {_CO}, {_JAC} "
+        "SELECT jac.* FROM jac JOIN cand ON jac.a = cand.a AND jac.b = cand.b"
+    )
+    o["ngram_jaccard"] = (
+        f"WITH {_SH}, {_SIZES}, {_CO}, {_JAC} "
+        "SELECT * FROM jac WHERE jac >= 0.05"
+    )
+    _BITS = (
+        "bits AS (SELECT id, k, sum(2 * (((instr('0123456789abcdef', "
+        "substr(md5(sh), (k // 4) + 1, 1)) - 1) >> (3 - (k % 4))) & 1) - 1) "
+        "AS s FROM sh, unnest(generate_series(0, 31)) AS tk(k) "
+        "GROUP BY id, k)"
+    )
+    _SIM = (
+        "sim AS (SELECT id, string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' "
+        "END, '' ORDER BY k) AS simhash FROM bits GROUP BY id)"
+    )
+    o["dedup_simhash"] = f"WITH {_SH}, {_BITS}, {_SIM} SELECT * FROM sim"
+    o["simhash_hamming"] = (
+        f"WITH {_SH}, {_BITS}, {_SIM}, "
+        "blocks AS (SELECT id, simhash, blk, "
+        "substr(simhash, blk * 8 + 1, 8) AS piece FROM sim, "
+        "unnest(generate_series(0, 3)) AS tb(blk)), "
+        "candh AS (SELECT DISTINCT l.id AS a, r.id AS b, "
+        "l.simhash AS ha, r.simhash AS hb FROM blocks l JOIN blocks r "
+        "ON l.blk = r.blk AND l.piece = r.piece AND l.id < r.id) "
+        "SELECT a, b, dist FROM (SELECT a, b, CAST(list_sum("
+        "list_transform(generate_series(1, 32), k -> CASE WHEN "
+        "substr(ha, k, 1) <> substr(hb, k, 1) THEN 1 ELSE 0 END)) AS INT) "
+        "AS dist FROM candh) WHERE dist <= 16"
+    )
+    _E = (
+        "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "
+        "FROM embeddings), "
+        "n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e)"
+    )
+    o["embedding_topk"] = (
+        f"WITH {_E} SELECT qid, nid, cos, rank FROM ("
+        "SELECT q.vec_id AS qid, c.vec_id AS nid, "
+        "round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 4) AS cos, "
+        "row_number() OVER (PARTITION BY q.vec_id ORDER BY "
+        "round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 4) DESC, "
+        "c.vec_id) AS rank "
+        "FROM n q JOIN n c ON q.vec_id <> c.vec_id WHERE q.vec_id < 10) "
+        "WHERE rank <= 5"
+    )
+    o["embedding_neardup"] = (
+        f"WITH {_E} SELECT a, b, cos FROM ("
+        "SELECT x.vec_id AS a, y.vec_id AS b, "
+        "round(list_dot_product(x.v, y.v) / (x.nrm * y.nrm), 4) AS cos "
+        "FROM n x JOIN n y ON x.vec_id < y.vec_id) WHERE cos >= 0.4"
+    )
+    _BUCKET_BIT = (
+        "(CASE WHEN list_sum(list_transform(generate_series(1, 64), "
+        "i -> CASE WHEN (i - 1) % 6 = {j} THEN v[i] ELSE 0.0 END)) >= 0 "
+        "THEN '1' ELSE '0' END)"
+    )
+    _bucket = " || ".join(_BUCKET_BIT.format(j=j) for j in range(6))
+    o["embedding_lsh_topk"] = (
+        f"WITH {_E}, nb AS (SELECT vec_id, v, nrm, {_bucket} AS bucket "
+        "FROM n) "
+        "SELECT qid, nid, cos, rank FROM ("
+        "SELECT q.vec_id AS qid, c.vec_id AS nid, "
+        "round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 4) AS cos, "
+        "row_number() OVER (PARTITION BY q.vec_id ORDER BY "
+        "round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 4) DESC, "
+        "c.vec_id) AS rank "
+        "FROM nb q JOIN nb c ON q.bucket = c.bucket "
+        "AND q.vec_id <> c.vec_id WHERE q.vec_id < 10) WHERE rank <= 5"
+    )
+    _W = (
+        "tw AS (SELECT doc_id, string_split_regex(lower(text), ' +') AS w, "
+        "text FROM documents)"
+    )
+
+    def _hits(words):
+        lst = ", ".join(f"'{x}'" for x in words)
+        return (
+            f"CAST(len(list_filter(w, x -> list_contains([{lst}], x))) "
+            "AS INT)"
+        )
+
+    _sc = {
+        "en": _hits(["the", "a", "of", "and", "in", "to", "is"]),
+        "es": _hits(["el", "la", "de", "y", "en", "que", "es"]),
+        "fr": _hits(["le", "la", "de", "et", "en", "que", "est"]),
+        "de": _hits(["der", "die", "das", "und", "in", "zu", "ist"]),
+    }
+    o["lang_id"] = (
+        f"WITH {_W}, s AS (SELECT doc_id, {_sc['en']} AS score_en, "
+        f"{_sc['es']} AS score_es, {_sc['fr']} AS score_fr, "
+        f"{_sc['de']} AS score_de FROM tw) "
+        "SELECT doc_id, score_en, score_es, score_fr, score_de, "
+        "CASE WHEN greatest(score_de, score_en, score_es, score_fr) = 0 "
+        "THEN 'und' "
+        "WHEN score_de = greatest(score_de, score_en, score_es, score_fr) "
+        "THEN 'de' "
+        "WHEN score_en = greatest(score_de, score_en, score_es, score_fr) "
+        "THEN 'en' "
+        "WHEN score_es = greatest(score_de, score_en, score_es, score_fr) "
+        "THEN 'es' ELSE 'fr' END AS lang_pred FROM s"
+    )
+    o["quality"] = (
+        f"WITH {_W}, q AS (SELECT doc_id, "
+        "CAST(len(w) AS BIGINT) AS n_tokens, "
+        "round(length(text) / greatest(len(w), 1), 4) AS mean_tok_len, "
+        "round(length(regexp_replace(text, '[A-Za-z ]', '', 'g')) / "
+        "greatest(length(text), 1), 4) AS punct_ratio, "
+        f"round({_sc['en']} / greatest(len(w), 1), 4) AS stop_ratio, "
+        "length(text) AS n_chars FROM tw) "
+        "SELECT doc_id, n_tokens, mean_tok_len, punct_ratio, stop_ratio, "
+        "floor(((CASE WHEN n_chars BETWEEN 50 AND 100000 THEN 0.4 "
+        "ELSE 0.0 END) + (1.0 - least(punct_ratio * 2, 1.0)) * 0.3 + "
+        "least(stop_ratio * 5, 1.0) * 0.3) * 10000 + 0.5) / 10000 "
+        "AS quality FROM q"
+    )
+    o["token_counts"] = (
+        f"WITH {_W} SELECT doc_id, CAST(len(w) AS BIGINT) AS ws_tokens, "
+        "CAST(list_sum(list_transform(w, t -> ceil(length(t) / 4.0))) "
+        "AS BIGINT) AS bpe_tokens FROM tw"
+    )
+    o["fingerprint"] = (
+        "WITH g AS (SELECT DISTINCT doc_id AS id, "
+        "md5(substr(text, p, 8)) AS h FROM documents, "
+        "unnest(generate_series(1, greatest(length(text) - 7, 1))) "
+        "AS tp(p)), "
+        "r AS (SELECT id, h, row_number() OVER (PARTITION BY id "
+        "ORDER BY h) AS rn FROM g) "
+        "SELECT id, string_agg(h, '' ORDER BY h) AS fp FROM r "
+        "WHERE rn <= 4 GROUP BY id"
+    )
+    o["multimodal_meta"] = (
+        "SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) "
+        "AS nbytes, md5(text) AS digest FROM documents"
+    )
+    _BYTE = (
+        "((instr('0123456789abcdef', substr(md5(text), {p1}, 1)) - 1) * 16 "
+        "+ instr('0123456789abcdef', substr(md5(text), {p2}, 1)) - 1)"
+    )
+    _feats = " || ',' || ".join(
+        "printf('%.6f', CAST(CAST("
+        + _BYTE.format(p1=2 * j + 1, p2=2 * j + 2)
+        + " / 255.0 AS FLOAT) AS DOUBLE))"
+        for j in range(8)
+    )
+    o["multimodal_features"] = (
+        "SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) "
+        f"AS nbytes, {_feats} AS features_csv FROM documents"
     )
     o["impstats"] = with_parsed_oracle(
         "SELECT 'core.submitted' AS counter, CAST(count(*) AS BIGINT) "

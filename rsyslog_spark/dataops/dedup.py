@@ -1,0 +1,214 @@
+"""Deduplication operators: exact, MinHash-LSH, n-gram Jaccard, SimHash.
+
+Scale design (the only thing that matters at 100 TB):
+
+- exact: one hash-shuffle on md5(text) — the minimum possible.
+- MinHash-LSH: shingle -> per-band min-hash signature -> candidates are
+  docs sharing a (band, signature) bucket. The *pair* join happens only
+  inside buckets (tiny), never across the corpus. Hash = md5 hex of a
+  seed-prefixed shingle: deterministic, engine-independent, and string
+  MIN is a valid min-hash order (uniform over hex strings).
+- Jaccard verify: candidates only — |A ∩ B| via a shingle equi-join on
+  the candidate set, sizes via per-doc distinct counts.
+- SimHash: per-bit majority vote over shingle hashes, emitted as a
+  bitstring column; near-dup = small Hamming distance.
+
+Everything is exact-arithmetic (string mins, integer counts) so results
+are bit-identical across engines — floats appear only in the final
+Jaccard ratio (rounded).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+FNF = None  # no sentinel values; missing = absent row
+
+
+def exact_dedup_groups(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """One row per distinct content hash: (content_hash, n, keep_id).
+
+    keep_id = min id = the canonical survivor; rows with n > 1 are the
+    duplicate groups. Single shuffle on the hash."""
+    return (
+        df.select(F.md5(F.col(text_col)).alias("content_hash"), F.col(id_col))
+        .groupBy("content_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min(id_col).alias("keep_id"),
+        )
+    )
+
+
+def shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+             k: int = 3, out: str = "sh") -> DataFrame:
+    """Distinct word k-gram shingles, exploded: (id, sh).
+
+    The explode is the scale-relevant shape: every downstream op is a
+    groupBy/join on (id) or (sh) — plain shuffles, no row blowup beyond
+    tokens×1."""
+    toks = F.split(F.col(text_col), " ")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - k),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, i + j + 1) for j in range(k)]
+        ),
+    )
+    # guard: Spark sequence(0, n) DESCENDS when n < 0 (doc shorter than
+    # k tokens) — emit no shingles instead
+    grams = F.when(F.size(toks) >= k, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(grams)).alias(out),
+    )
+
+
+def minhash_signatures(sh: DataFrame, num_hashes: int = 8) -> DataFrame:
+    """(id, band, sig): per-band min-hash over md5(band:shingle).
+
+    r=1 rows-per-band banding: a shared (band, sig) bucket is the
+    candidate condition. num_hashes bands => recall 1-(1-j)^b."""
+    banded = sh.select(
+        "id",
+        F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("band"),
+        "sh",
+    )
+    h = F.md5(F.concat(F.col("band").cast("string"), F.lit(":"), F.col("sh")))
+    return (
+        banded.select("id", "band", h.alias("h"))
+        .groupBy("id", "band")
+        .agg(F.min("h").alias("sig"))
+    )
+
+
+def minhash_candidate_pairs(sigs: DataFrame) -> DataFrame:
+    """Distinct candidate pairs (a < b) sharing any (band, sig) bucket."""
+    left = sigs.select("band", "sig", F.col("id").alias("a"))
+    right = sigs.select("band", "sig", F.col("id").alias("b"))
+    return (
+        left.join(right, on=["band", "sig"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    sh: DataFrame,
+    pairs: DataFrame | None = None,
+    threshold: float = 0.0,
+) -> DataFrame:
+    """Exact Jaccard for candidate pairs (or all co-shingled pairs).
+
+    (a, b, inter, union_n, jac) with jac rounded to 4 digits. When
+    ``pairs`` is given the shingle join is semi-joined onto it first —
+    at corpus scale you NEVER join shingles without a candidate filter.
+    """
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.select(F.col("id").alias("a"), "sh")
+    b = sh.select(F.col("id").alias("b"), "sh")
+    co = a.join(b, on="sh").filter(F.col("a") < F.col("b"))
+    if pairs is not None:
+        co = co.join(pairs, on=["a", "b"], how="leftsemi")
+    inter = co.groupBy("a", "b").agg(F.count(F.lit(1)).alias("inter"))
+    out = (
+        inter.join(sizes.withColumnRenamed("id", "a")
+                   .withColumnRenamed("sz", "sza"), on="a")
+        .join(sizes.withColumnRenamed("id", "b")
+              .withColumnRenamed("sz", "szb"), on="b")
+        .select(
+            "a",
+            "b",
+            "inter",
+            (F.col("sza") + F.col("szb") - F.col("inter")).alias("union_n"),
+            F.round(
+                F.col("inter") / (F.col("sza") + F.col("szb") - F.col("inter")),
+                4,
+            ).alias("jac"),
+        )
+    )
+    if threshold > 0:
+        out = out.filter(F.col("jac") >= threshold)
+    return out
+
+
+def simhash(sh: DataFrame, bits: int = 32) -> DataFrame:
+    """(id, simhash) with simhash as a ``bits``-char '0'/'1' string.
+
+    Bit k comes from hex digit k//4 of md5(shingle): majority vote of
+    (2*bit-1) across the doc's shingles (Charikar). A bitstring output
+    keeps the value engine-portable (no 64-bit unsigned pitfalls)."""
+    assert bits <= 128 and bits % 4 == 0
+    h = F.md5(F.col("sh"))
+    k = F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("k")
+    digits = sh.select("id", h.alias("h"), k)
+    # SQL-expr form: shiftright() needs a literal shift amount in the
+    # Column API, but `>>` takes a column operand in SQL
+    bit = F.expr(
+        "((instr('0123456789abcdef', substring(h, cast(k/4 as int)+1, 1))"
+        " - 1) >> (3 - k % 4)) & 1"
+    )
+    votes = (
+        digits.select("id", "k", (bit * 2 - 1).alias("v"))
+        .groupBy("id", "k")
+        .agg(F.sum("v").alias("s"))
+    )
+    ch = F.when(F.col("s") > 0, F.lit("1")).otherwise(F.lit("0"))
+    ordered = votes.select("id", F.struct(F.col("k"), ch.alias("c")).alias("kc"))
+    return (
+        ordered.groupBy("id")
+        .agg(F.sort_array(F.collect_list("kc")).alias("arr"))
+        .select(
+            "id",
+            F.concat_ws(
+                "", F.transform(F.col("arr"), lambda x: x["c"])
+            ).alias("simhash"),
+        )
+    )
+
+
+def hamming_pairs(sim: DataFrame, max_dist: int = 3) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance.
+
+    Scale path: block on 4 byte-bands of the bitstring (a pair within
+    distance d<bits/4 must agree on >=1 band) — same LSH trick as
+    MinHash banding; the quadratic join only happens inside blocks."""
+    nb = 4
+    sim2 = sim.select(
+        "id",
+        "simhash",
+        F.explode(F.sequence(F.lit(0), F.lit(nb - 1))).alias("blk"),
+    ).withColumn(
+        "piece",
+        F.expr(
+            f"substring(simhash, blk * (length(simhash) div {nb}) + 1,"
+            f" length(simhash) div {nb})"
+        ),
+    )
+    l = sim2.select("blk", "piece", F.col("id").alias("a"),
+                    F.col("simhash").alias("ha"))
+    r = sim2.select("blk", "piece", F.col("id").alias("b"),
+                    F.col("simhash").alias("hb"))
+    cand = (
+        l.join(r, on=["blk", "piece"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", "ha", "hb")
+        .distinct()
+    )
+    dist = F.size(
+        F.filter(
+            F.zip_with(
+                F.split(F.col("ha"), ""),
+                F.split(F.col("hb"), ""),
+                lambda x, y: x != y,
+            ),
+            lambda x: x,
+        )
+    )
+    return cand.select("a", "b", dist.alias("dist")).filter(
+        F.col("dist") <= max_dist
+    )

@@ -1,0 +1,133 @@
+"""Text analysis for training-data curation: language-ID, quality
+scoring, token counting, document fingerprinting.
+
+All pure Column expressions (whole-stage codegen; zero Python). Each is
+the deterministic skeleton of the production heuristic: the stopword
+lists / weights are data, not code — swap in real tables via broadcast
+without touching the operators.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# minimal function-word lists (expandable; kept tiny & well-known)
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "in", "to", "is"],
+    "es": ["el", "la", "de", "y", "en", "que", "es"],
+    "fr": ["le", "la", "de", "et", "en", "que", "est"],
+    "de": ["der", "die", "das", "und", "in", "zu", "ist"],
+}
+
+
+def _toks(text_col: str) -> Column:
+    return F.split(F.lower(F.col(text_col)), " +")
+
+
+def lang_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Adds hit-count columns ``score_<lang>`` per language."""
+    toks = _toks(text_col)
+    for lang, words in STOPWORDS.items():
+        hits = F.size(
+            F.filter(toks, lambda t: t.isin(words))
+        )
+        df = df.withColumn(f"score_{lang}", hits)
+    return df
+
+
+def lang_id(df: DataFrame, text_col: str = "text",
+            out: str = "lang_pred") -> DataFrame:
+    """Predicted language = argmax stopword-hit rate; 'und' when no
+    list scores > 0. Ties break by language code order (deterministic).
+    """
+    df = lang_scores(df, text_col)
+    langs = sorted(STOPWORDS)
+    # CASE chain over sorted langs picking the FIRST language whose
+    # score equals the max — portable argmax with deterministic ties
+    score_cols = [F.col(f"score_{lg}") for lg in langs]
+    mx = F.greatest(*score_cols)
+    pred = F.lit("und")
+    for lg in reversed(langs):
+        pred = F.when(
+            (mx > 0) & (F.col(f"score_{lg}") == mx), F.lit(lg)
+        ).otherwise(pred)
+    return df.withColumn(out, pred)
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length / punctuation / stopword-ratio quality features + a
+    composite score in [0,1] (rounded to 4): the standard cheap
+    pre-filters of a pretraining pipeline (C4-style heuristics)."""
+    toks = _toks(text_col)
+    n_chars = F.length(F.col(text_col))
+    n_toks = F.size(toks)
+    mean_tok = F.round(n_chars / F.greatest(n_toks, F.lit(1)), 4)
+    non_alpha = F.length(
+        F.regexp_replace(F.col(text_col), "[A-Za-z ]", "")
+    )
+    punct_ratio = F.round(non_alpha / F.greatest(n_chars, F.lit(1)), 4)
+    stop_hits = F.size(F.filter(toks, lambda t: t.isin(STOPWORDS["en"])))
+    stop_ratio = F.round(stop_hits / F.greatest(n_toks, F.lit(1)), 4)
+    length_ok = (n_chars >= 50) & (n_chars <= 100000)
+    raw = (
+        F.when(length_ok, 0.4).otherwise(0.0)
+        + (1.0 - F.least(punct_ratio * 2, F.lit(1.0))) * 0.3
+        + F.least(stop_ratio * 5, F.lit(1.0)) * 0.3
+    )
+    # explicit HALF_UP via floor(x*1e4+0.5): the weighted sum of
+    # 4-decimal ratios frequently lands EXACTLY on the 5th decimal, and
+    # engines disagree on tie direction (Spark HALF_UP vs DuckDB's
+    # banker-ish round) — pin the rule instead
+    score = F.floor(raw * 10000 + 0.5) / 10000
+    return (
+        df.withColumn("n_tokens", n_toks.cast("long"))
+        .withColumn("mean_tok_len", mean_tok)
+        .withColumn("punct_ratio", punct_ratio)
+        .withColumn("stop_ratio", stop_ratio)
+        .withColumn("quality", score)
+    )
+
+
+def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace token count + a BPE-ish subword estimate
+    (sum over words of ceil(len/4) — the usual chars/4 rule applied
+    per word so whitespace never counts)."""
+    toks = _toks(text_col)
+    ws = F.size(toks).cast("long")
+    bpe = F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, t: acc + F.ceil(F.length(t) / 4.0).cast("long"),
+    )
+    return df.withColumn("ws_tokens", ws).withColumn("bpe_tokens", bpe)
+
+
+def fingerprint(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    gram: int = 8,
+    keep: int = 4,
+) -> DataFrame:
+    """Min-k content fingerprint: the ``keep`` smallest md5 hashes of
+    character ``gram``-grams, concatenated in order — a winnowing-style
+    signature robust to small edits. (id, fp)."""
+    pos = F.explode(
+        F.sequence(
+            F.lit(1),
+            F.greatest(F.length(F.col(text_col)) - gram + 1, F.lit(1)),
+        )
+    ).alias("p")
+    grams = df.select(F.col(id_col).alias("id"), F.col(text_col), pos).select(
+        "id", F.md5(F.expr(f"substring({text_col}, p, {gram})")).alias("h")
+    ).distinct()
+    w = Window.partitionBy("id").orderBy("h")
+    topk = grams.withColumn("r", F.row_number().over(w)).filter(
+        F.col("r") <= keep
+    )
+    return (
+        topk.groupBy("id")
+        .agg(F.sort_array(F.collect_list("h")).alias("hs"))
+        .select("id", F.concat_ws("", "hs").alias("fp"))
+    )

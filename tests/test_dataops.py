@@ -1,0 +1,166 @@
+"""Unit tests for the training-data operators (dataops package)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from rsyslog_spark.dataops import dedup, multimodal, similarity, textstats
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy cat"),
+        (2, "completely different words here entirely unrelated text"),
+        (3, "the quick brown fox jumps over the lazy dog"),  # exact dup of 0
+        (4, "ab"),  # shorter than one shingle
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+class TestDedup:
+    def test_exact_groups(self, docs):
+        g = dedup.exact_dedup_groups(docs).collect()
+        dups = [r for r in g if r["n"] > 1]
+        assert len(dups) == 1 and dups[0]["keep_id"] == 0
+
+    def test_shingles_count_and_short_doc(self, docs):
+        sh = dedup.shingles(docs).collect()
+        by_id = {}
+        for r in sh:
+            by_id.setdefault(r["id"], set()).add(r["sh"])
+        assert len(by_id[0]) == 7  # 9 tokens -> 7 distinct 3-grams
+        assert 4 not in by_id  # 2 tokens -> no shingles
+        assert "the quick brown" in by_id[0]
+
+    def test_minhash_finds_near_dup(self, docs):
+        sh = dedup.shingles(docs)
+        cand = dedup.minhash_candidate_pairs(
+            dedup.minhash_signatures(sh)
+        ).collect()
+        pairs = {(r["a"], r["b"]) for r in cand}
+        assert (0, 3) in pairs  # identical docs always collide
+        assert (0, 1) in pairs  # 6/8 shared shingles -> near-certain
+        assert (0, 2) not in pairs
+
+    def test_jaccard_exact_values(self, docs):
+        sh = dedup.shingles(docs)
+        jac = {(r["a"], r["b"]): r for r in dedup.jaccard_pairs(sh).collect()}
+        assert jac[(0, 3)]["jac"] == 1.0
+        r = jac[(0, 1)]
+        assert r["inter"] == 6 and r["union_n"] == 8 and r["jac"] == 0.75
+
+    def test_simhash_shape_and_identity(self, docs):
+        sim = {r["id"]: r["simhash"]
+               for r in dedup.simhash(dedup.shingles(docs)).collect()}
+        assert all(len(v) == 32 and set(v) <= {"0", "1"}
+                   for v in sim.values())
+        assert sim[0] == sim[3]
+
+    def test_hamming_pairs(self, docs):
+        out = dedup.hamming_pairs(
+            dedup.simhash(dedup.shingles(docs)), max_dist=0
+        ).collect()
+        assert {(r["a"], r["b"]) for r in out} == {(0, 3)}
+
+
+class TestSimilarity:
+    @pytest.fixture(scope="class")
+    def vecs(self, spark):
+        rows = [
+            (0, [1.0, 0.0, 0.0]),
+            (1, [0.9, 0.1, 0.0]),
+            (2, [0.0, 1.0, 0.0]),
+            (3, [-1.0, 0.0, 0.0]),
+        ]
+        return spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>"
+        )
+
+    def test_cosine(self, vecs):
+        r = vecs.filter("vec_id = 0").select(
+            similarity.cosine(
+                F.col("embedding"), F.array(F.lit(1.0), F.lit(0.0), F.lit(0.0))
+            ).alias("c")
+        ).first()
+        assert abs(r["c"] - 1.0) < 1e-9
+
+    def test_topk_order(self, vecs):
+        out = similarity.topk_bruteforce(
+            vecs, vecs.filter("vec_id = 0"), k=3
+        ).orderBy("rank").collect()
+        assert [r["nid"] for r in out] == [1, 2, 3]
+        assert out[0]["cos"] > 0.99
+
+    def test_topk_plan_broadcasts(self, vecs):
+        plan = similarity.topk_bruteforce(
+            vecs, vecs.filter("vec_id = 0"), k=3
+        )._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastNestedLoopJoin" in plan or "Broadcast" in plan
+
+    def test_neardup_threshold(self, vecs):
+        out = similarity.neardup_pairs(vecs, threshold=0.9).collect()
+        assert {(r["a"], r["b"]) for r in out} == {(0, 1)}
+
+    def test_lsh_topk_self_bucket(self, vecs):
+        out = similarity.topk_lsh(vecs, vecs.filter("vec_id = 0"), k=3,
+                                  n_bits=2).collect()
+        # bucket-mates only; vector 3 (opposite sign) lands elsewhere
+        assert all(r["nid"] != 3 for r in out)
+
+
+class TestTextstats:
+    def test_lang_id_pred(self, spark):
+        df = spark.createDataFrame(
+            [(0, "the cat and the dog in the house"),
+             (1, "el perro y la casa en la calle que es"),
+             (2, "zzz qqq www")],
+            "doc_id long, text string",
+        )
+        out = {r["doc_id"]: r["lang_pred"]
+               for r in textstats.lang_id(df).collect()}
+        assert out[0] == "en" and out[1] == "es" and out[2] == "und"
+
+    def test_token_counts(self, spark):
+        df = spark.createDataFrame(
+            [(0, "abcd efghijkl x")], "doc_id long, text string"
+        )
+        r = textstats.token_counts(df).first()
+        assert r["ws_tokens"] == 3
+        assert r["bpe_tokens"] == 1 + 2 + 1  # ceil(4/4)+ceil(8/4)+ceil(1/4)
+
+    def test_fingerprint_deterministic(self, spark):
+        df = spark.createDataFrame(
+            [(0, "abcdefghijklmnop"), (1, "abcdefghijklmnop")],
+            "doc_id long, text string",
+        )
+        out = textstats.fingerprint(df).collect()
+        fps = {r["id"]: r["fp"] for r in out}
+        assert fps[0] == fps[1] and len(fps[0]) == 4 * 32
+
+
+class TestMultimodal:
+    def test_payload_meta(self, spark):
+        df = spark.createDataFrame([(0, "hello")], "doc_id long, text string")
+        r = multimodal.with_binary_payload(df).first()
+        assert bytes(r["payload"]) == b"hello"
+        assert r["media_meta"]["nbytes"] == 5
+
+    def test_decode_stub_raises(self):
+        with pytest.raises(NotImplementedError):
+            multimodal.decode_image(b"xx")
+
+    def test_fake_features_deterministic(self, spark):
+        df = spark.createDataFrame(
+            [(0, "hello"), (1, "hello")], "doc_id long, text string"
+        )
+        out = multimodal.extract_features(
+            multimodal.with_binary_payload(df)
+        ).collect()
+        assert len(out) == 2
+        f0, f1 = (sorted(out, key=lambda r: r["id"]))
+        assert list(f0["features"]) == list(f1["features"])
+        assert len(f0["features"]) == 8
+        assert all(0 <= v <= 1 for v in f0["features"])
