@@ -283,6 +283,84 @@ def q_impstats(spark, sf_dir):
     return A.impstats(_parsed(spark, sf_dir))
 
 
+def q_template_options(spark, sf_dir):
+    """Per-FIELD option pipeline (msg.c:3526 onward): field extraction,
+    substring+case, csv escape, regex w/ **NO MATCH**, compress+json."""
+    p = _ok(spark, sf_dir)
+    return p.select(
+        "i",
+        compile_template("%msg:F,58:2%").alias("f2"),
+        compile_template("%msg:2:8:uppercase%").alias("sub"),
+        compile_template("%hostname:::csv%").alias("hostcsv"),
+        compile_template("%msg:R,ere,0,1,x:msgnum.([0-9]+)%").alias("rex"),
+        compile_template("%msg:::compressspace,json%").alias("jmsg"),
+    )
+
+
+def q_rs_functions2(spark, sf_dir):
+    from rsyslog_spark.functions import (
+        rs_format_time,
+        rs_ipv42num,
+        rs_is_time,
+        rs_parse_time,
+        rs_replace,
+        rs_strlen,
+    )
+
+    p = _ok(spark, sf_dir)
+    ip = rs_num2ipv4((F.col("i") * 9973) % 4294967296)
+    return p.select(
+        "i",
+        rs_parse_time(F.col("timestamp_text")).alias("pt"),
+        rs_is_time(F.col("timestamp_text")).alias("ist"),
+        rs_format_time(
+            F.col("i") * 1000 + 7, "date-rfc3164"
+        ).alias("ft64"),
+        rs_format_time(
+            F.col("i") * 1000 + 7, "date-rfc3339"
+        ).alias("ft39"),
+        rs_strlen(F.col("msg")).alias("sl"),
+        rs_replace(F.col("msg"), "the", "THE").alias("rep"),
+        rs_wrap(F.col("msg"), '"', "#").alias("w3"),
+        rs_ipv42num(ip).alias("ipn"),
+        rs_ipv42num(F.col("hostname")).alias("ipbad"),
+    )
+
+
+def q_mm_anon(spark, sf_dir):
+    p = _ok(spark, sf_dir).withColumn(
+        "msg",
+        F.concat(
+            F.lit("src="),
+            rs_num2ipv4((F.col("i") * 2654435761) % 4294967296),
+            F.lit(" dst=10.1.2.3 "),
+            F.col("msg"),
+        ),
+    )
+    return mods.mm_anon(p, bits=16).select("i", "msg")
+
+
+def q_mm_normalize(spark, sf_dir):
+    out = mods.mm_normalize(
+        _ok(spark, sf_dir),
+        rules=[
+            ("msgnum", "msgnum:([0-9]+)", 1),
+            ("first_word", "^ ?([a-z]+)", 1),
+        ],
+    )
+    return out.select(
+        "i",
+        F.element_at("norm", "msgnum").alias("msgnum"),
+        F.element_at("norm", "first_word").alias("first_word"),
+    )
+
+
+def q_dyn_inc_capped(spark, sf_dir):
+    return A.dyn_inc(
+        _ok(spark, sf_dir), "hosts", "hostname", max_cardinality=5
+    )
+
+
 # --- training-data ops (rsyslog_spark.dataops) -----------------------------
 
 
@@ -450,6 +528,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_pstrucdata": q_mm_pstrucdata,
         "rs_functions": q_rs_functions,
         "impstats": q_impstats,
+        "template_options": q_template_options,
+        "rs_functions2": q_rs_functions2,
+        "mm_anon": q_mm_anon,
+        "mm_normalize": q_mm_normalize,
+        "dyn_inc_capped": q_dyn_inc_capped,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_sigs": q_dedup_minhash_sigs,
         "dedup_minhash_pairs": q_dedup_minhash_pairs,
@@ -644,6 +727,70 @@ def oracle_sql() -> dict[str, str]:
         "substr(msg, 2, 6) AS sub, "
         "'\"' || programname || '\"' AS wrapped "
         "FROM p WHERE parse_success"
+    )
+    _JESC = (
+        "replace(replace(replace(replace(replace({x}, '\\', '\\\\'), "
+        "'\"', '\\\"'), chr(10), '\\n'), chr(13), '\\r'), chr(9), '\\t')"
+    )
+    o["template_options"] = with_parsed_oracle(
+        "SELECT i, "
+        "coalesce(list_extract(string_split(msg, ':'), 2), "
+        "'**FIELD NOT FOUND**') AS f2, "
+        "upper(substr(msg, 2, 7)) AS sub, "
+        "'\"' || replace(hostname, '\"', '\"\"') || '\"' AS hostcsv, "
+        "coalesce(nullif(regexp_extract(msg, 'msgnum.([0-9]+)', 1), ''), "
+        "'**NO MATCH**') AS rex, "
+        + _JESC.format(x="regexp_replace(msg, ' +', ' ', 'g')")
+        + " AS jmsg FROM p WHERE parse_success"
+    )
+    _mk_ts = "make_timestamp((i * 1000 + 7) * 1000000)"
+    o["rs_functions2"] = with_parsed_oracle(
+        "SELECT i, "
+        "CAST(CASE WHEN i % 10 <= 7 THEN epoch(timereported) ELSE 0 END "
+        "AS BIGINT) AS pt, "
+        "(i % 10 <= 7) AS ist, "
+        f"strftime({_mk_ts}, '%b') || ' ' || "
+        f"lpad(CAST(day({_mk_ts}) AS VARCHAR), 2, ' ') || ' ' || "
+        f"strftime({_mk_ts}, '%H:%M:%S') AS ft64, "
+        f"strftime({_mk_ts}, '%Y-%m-%dT%H:%M:%S') || '+00:00' AS ft39, "
+        "CAST(length(msg) AS INT) AS sl, "
+        "replace(msg, 'the', 'THE') AS rep, "
+        "'\"' || replace(msg, '\"', '#') || '\"' AS w3, "
+        "CAST((i * 9973) % 4294967296 AS BIGINT) AS ipn, "
+        "CAST(-1 AS BIGINT) AS ipbad "
+        "FROM p WHERE parse_success"
+    )
+    _k2 = "((i * 2654435761) % 4294967296)"
+    _quad2 = (
+        f"CAST({_k2} // 16777216 % 256 AS VARCHAR) || '.' || "
+        f"CAST({_k2} // 65536 % 256 AS VARCHAR) || '.' || "
+        f"CAST({_k2} // 256 % 256 AS VARCHAR) || '.' || "
+        f"CAST({_k2} % 256 AS VARCHAR)"
+    )
+    o["mm_anon"] = with_parsed_oracle(
+        "SELECT i, regexp_replace("
+        f"'src=' || {_quad2} || ' dst=10.1.2.3 ' || msg, "
+        r"'\b(\d{1,3})\.(\d{1,3})\.(\d{1,3})\.(\d{1,3})\b', "
+        r"'\1.\2.0.0', 'g') AS msg "
+        "FROM p WHERE parse_success"
+    )
+    o["mm_normalize"] = with_parsed_oracle(
+        "SELECT i, regexp_extract(msg, 'msgnum:([0-9]+)', 1) AS msgnum, "
+        "regexp_extract(msg, '^ ?([a-z]+)', 1) AS first_word "
+        "FROM p WHERE parse_success"
+    )
+    o["dyn_inc_capped"] = with_parsed_oracle(
+        'SELECT name, key, "count" FROM ('
+        'SELECT name, key, "count", row_number() OVER '
+        '(ORDER BY "count" DESC, key) AS rn FROM ('
+        "SELECT 'hosts' AS name, hostname AS key, count(*) AS \"count\" "
+        "FROM p WHERE parse_success GROUP BY hostname)) WHERE rn <= 5 "
+        "UNION ALL "
+        "SELECT 'hosts', 'ops_overflow', CAST(sum(\"count\") AS BIGINT) "
+        "FROM (SELECT \"count\", row_number() OVER (ORDER BY \"count\" "
+        "DESC, key) AS rn FROM (SELECT hostname AS key, count(*) AS "
+        '"count" FROM p WHERE parse_success GROUP BY hostname)) '
+        "WHERE rn > 5"
     )
     # --- dataops oracles ---------------------------------------------------
     _SH = (

@@ -129,6 +129,28 @@ def mm_pstrucdata(
     return df.withColumn(out, F.when(sd.isNotNull() & (sd != "-"), m))
 
 
+def mm_normalize(
+    df: DataFrame,
+    rules: list[tuple[str, str, int]],
+    msg_col: str = "msg",
+    out: str = "norm",
+) -> DataFrame:
+    """Rule-based field extraction into the ``$!`` map
+    (plugins/mmnormalize/mmnormalize.c, liblognorm rulebase analog).
+
+    ``rules`` = [(field_name, java_regex, group_idx), ...]; each rule
+    extracts its group from MSG ('' when unmatched — liblognorm leaves
+    unparsed fields absent; we keep '' for a fixed map shape). All rules
+    compile into ONE map column — single codegen pass, no UDF.
+    """
+    msg = F.col(msg_col)
+    keys, vals = [], []
+    for name, pattern, grp in rules:
+        keys.append(F.lit(name))
+        vals.append(F.regexp_extract(msg, pattern, grp))
+    return df.withColumn(out, F.map_from_arrays(F.array(keys), F.array(vals)))
+
+
 def mm_utf8fix(df: DataFrame, msg_col: str = "msg") -> DataFrame:
     """plugins/mmutf8fix analog: Spark strings are valid UTF-8 already
     (invalid bytes were replaced at read time); identity transform kept
