@@ -283,6 +283,43 @@ def q_impstats(spark, sf_dir):
     return A.impstats(_parsed(spark, sf_dir))
 
 
+_CONF_TEXT = """
+ruleset(name="txt") {
+    if not $parsesuccess then {
+        action(type="omfile" file="/log/parse_errors.log")
+        stop
+    }
+    if prifilt("kern,user.crit") then {
+        action(type="omfile" file="/log/kern_crit.log")
+    }
+    if $programname == ["chat", "kernelish"] then {
+        action(type="omfile" file="/log/apps.log")
+    }
+    if $msg contains "lazy" and $syslogseverity >= 4 then {
+        action(type="omfile" file="/log/lazy_low.log")
+    }
+    action(type="omfile" file="/log/rest.log")
+}
+"""
+
+
+def q_config_text_routing(spark, sf_dir):
+    """rsyslog.conf text -> compiled routing (config-as-query lifecycle,
+    SURVEY §3.1) -> exact per-sink counts."""
+    from rsyslog_spark.config import compile_config
+
+    ann, actions = compile_config(
+        _parsed(spark, sf_dir), _CONF_TEXT, entry="txt"
+    )
+    pairs = ", ".join(f"'{a.sink}', {a.pred_col}" for a in actions)
+    return (
+        ann.selectExpr(f"stack({len(actions)}, {pairs}) as (sink, hit)")
+        .filter("hit")
+        .groupBy("sink")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
 def q_template_options(spark, sf_dir):
     """Per-FIELD option pipeline (msg.c:3526 onward): field extraction,
     substring+case, csv escape, regex w/ **NO MATCH**, compress+json."""
@@ -528,6 +565,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_pstrucdata": q_mm_pstrucdata,
         "rs_functions": q_rs_functions,
         "impstats": q_impstats,
+        "config_text_routing": q_config_text_routing,
         "template_options": q_template_options,
         "rs_functions2": q_rs_functions2,
         "mm_anon": q_mm_anon,
@@ -727,6 +765,17 @@ def oracle_sql() -> dict[str, str]:
         "substr(msg, 2, 6) AS sub, "
         "'\"' || programname || '\"' AS wrapped "
         "FROM p WHERE parse_success"
+    )
+    o["config_text_routing"] = with_parsed_oracle(
+        "SELECT 'parse_errors' AS sink, count(*) AS n FROM p "
+        "WHERE NOT parse_success "
+        "UNION ALL SELECT 'kern_crit', count(*) FROM p WHERE parse_success "
+        "AND syslogfacility IN (0, 1) AND syslogseverity <= 2 "
+        "UNION ALL SELECT 'apps', count(*) FROM p WHERE parse_success "
+        "AND programname IN ('chat', 'kernelish') "
+        "UNION ALL SELECT 'lazy_low', count(*) FROM p WHERE parse_success "
+        "AND msg LIKE '%lazy%' AND syslogseverity >= 4 "
+        "UNION ALL SELECT 'rest', count(*) FROM p WHERE parse_success"
     )
     _JESC = (
         "replace(replace(replace(replace(replace({x}, '\\', '\\\\'), "
