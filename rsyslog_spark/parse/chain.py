@@ -160,6 +160,7 @@ def with_parsed(
     fromhost_col: str | None = None,
     parsers: tuple[str, ...] = ("rfc5424", "rfc3164"),
     require_header: bool = False,
+    engine: str = "arrow",
 ) -> DataFrame:
     """Full parse pipeline: sanitize -> PRI -> parser chain -> derived cols.
 
@@ -209,12 +210,38 @@ def with_parsed(
         "timereported": "timestamp_us",
     }
 
+    if engine == "arrow" and tuple(parsers) != ("rfc5424", "rfc3164"):
+        engine = "pandas"  # arrow fast path implements the default chain
+
     def _run(batches):
         import pyarrow as pa
 
         for batch in batches:
             names = batch.schema.names
             col = {n: batch.column(i) for i, n in enumerate(names)}
+            keep = [
+                n
+                for n in names
+                if n not in ("_fromhost", "_has_pri", "rawmsg_after_pri")
+            ]
+            arrays = [col[n] for n in keep]
+            if engine == "arrow":
+                # zero-object path: strings never leave Arrow
+                from rsyslog_spark.parse.arrow_chain import parse_chain_arrow
+
+                out_a = parse_chain_arrow(
+                    col["rawmsg_after_pri"],
+                    col["syslogfacility"],
+                    col[recv_ts_col],
+                    col["_fromhost"],
+                    col["_has_pri"],
+                    require_header=require_header,
+                )
+                arrays += [out_a[f] for f in _FIELDS]
+                yield pa.RecordBatch.from_arrays(
+                    arrays, names=keep + _FIELDS
+                )
+                continue
             recv = col[recv_ts_col].to_pandas()
             if getattr(recv.dtype, "tz", None) is not None:
                 # arrow carries the session tz (UTC); the chain works in
@@ -229,12 +256,6 @@ def with_parsed(
                 parsers=tuple(parsers),
                 require_header=require_header,
             )
-            keep = [
-                n
-                for n in names
-                if n not in ("_fromhost", "_has_pri", "rawmsg_after_pri")
-            ]
-            arrays = [col[n] for n in keep]
             for f in _FIELDS:
                 t = _PA_TYPES.get(f)
                 if t == "int32":
