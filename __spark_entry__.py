@@ -429,7 +429,9 @@ def q_dedup_minhash_pairs(spark, sf_dir):
         shingles,
     )
 
-    sh = shingles(_docs(spark, sf_dir))
+    # the shingle frame feeds 4 subtrees (sigs + both co-join sides +
+    # sizes); persist so one execution computes it once
+    sh = shingles(_docs(spark, sf_dir)).persist()
     cand = minhash_candidate_pairs(minhash_signatures(sh))
     return jaccard_pairs(sh, pairs=cand)
 
