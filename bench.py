@@ -171,6 +171,26 @@ def main():
         "throughput_rows_per_sec": round(rows / timings["flagship_e2e"], 1),
     }
 
+    # steady-state throughput at a compute-bound input size (30x the sf
+    # table) — the number that projects to cluster scale; the plain-sf
+    # flagship above is fixed-overhead-dominated at small sf
+    try:
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.getActiveSession()
+        reps = int(os.environ.get("SPARK_GRAFT_SS_REPLICAS", "30"))
+        _flagship(spark, SF_DIR, reps)  # warm plan shape
+        t0 = time.monotonic()
+        ss_rows = _flagship(spark, SF_DIR, reps)
+        ss_sec = round(time.monotonic() - t0, 3)
+        out["steady_state"] = {
+            "rows": ss_rows,
+            "sec": ss_sec,
+            "rows_per_sec": round(ss_rows / ss_sec, 1),
+        }
+    except Exception as ex:  # never fail the bench line on this extra
+        out["steady_state"] = {"error": str(ex)[:120]}
+
     scaling = os.environ.get("SPARK_GRAFT_SCALING")
     if scaling:
         # north rule: same job at N and 4N parallelism, efficiency =
