@@ -289,14 +289,14 @@ class _Parser:
     _STR_OPS = {"contains", "contains_i", "startswith", "startswith_i"}
 
     def cmp_expr(self) -> Column:
-        left, left_is_str = self.primary()
+        left, left_is_str = self.concat_expr()
         kind, op = self.peek()
         if op in self._CMP or op in self._STR_OPS:
             self.next()
             if self.peek()[1] == "[":
                 arr = self.array_literal()
                 return self.array_cmp(left, op, arr)
-            right, right_is_str = self.primary()
+            right, right_is_str = self.concat_expr()
             return self.compare(left, op, right, left_is_str, right_is_str)
         # bare value (boolean property in condition position, or a value
         # expression for `set`) — no coercion here; rsyslog's boolean
@@ -366,6 +366,17 @@ class _Parser:
         f = ops[op]
         return F.when(num_mode, f(ln, rn)).otherwise(f(ls, rs))
 
+    def concat_expr(self) -> tuple[Column, bool]:
+        """``&`` string concat (rainerscript.c:3468-3479: numbers render
+        decimal) — binds tighter than comparisons."""
+        left, l_str = self.primary()
+        while self.peek()[1] == "&":
+            self.next()
+            right, _ = self.primary()
+            left = F.concat(rs_to_string(left), rs_to_string(right))
+            l_str = True
+        return left, l_str
+
     def primary(self) -> tuple[Column, bool]:
         """Returns (column, is_stringish) for coercion decisions."""
         kind, v = self.next()
@@ -391,6 +402,18 @@ class _Parser:
                 ),
                 False,
             )
+        if kind == "name" and v == "exists":
+            # exists($!x): property existence, NOT empty-string test
+            # (grammar.y:222, msgCheckVarExists msg.h:234)
+            self.expect("(")
+            _, ref = self.next()
+            self.expect(")")
+            if ref.startswith(("$!", "$.")):
+                return (
+                    F.map_contains_key(F.col("vars"), F.lit(ref[2:])),
+                    False,
+                )
+            return resolve_property(ref[1:]).isNotNull(), False
         if kind == "name" and v in ("re_match", "re_match_i"):
             self.expect("(")
             s, _ = self.primary()

@@ -136,3 +136,28 @@ class TestConfigText:
         # '42' converts fully -> numeric equal; 'x42' falls back to string
         # compare vs '42' -> false; '' -> 0 == 42 false
         assert [r["msg"] for r in hits] == ["42"]
+
+
+class TestExprExtensions:
+    def test_concat_and_exists(self, parsed):
+        conf = """
+        ruleset(name="x") {
+            set $!k = $programname & "-" & $syslogseverity;
+            if exists($!k) and $!k == "chat-6" then {
+                action(type="omfile" file="/t/hit.log")
+            }
+            if not exists($!absent) then {
+                action(type="omfile" file="/t/noabs.log")
+            }
+        }
+        """
+        from rsyslog_spark.config import compile_config
+
+        ann, actions = compile_config(parsed, conf, entry="x")
+        counts = _counts(ann, actions)
+        # programname 'chat' (i%4==1, classes 0-7) with sev 6 (i%8==6)
+        assert counts["hit"] == sum(
+            1 for i in range(1000)
+            if i % 10 <= 7 and i % 4 == 1 and i % 8 == 6
+        )
+        assert counts["noabs"] == 1000
