@@ -452,8 +452,11 @@ def q_dedup_simhash(spark, sf_dir):
 def q_simhash_hamming(spark, sf_dir):
     from rsyslog_spark.dataops.dedup import hamming_pairs, shingles, simhash
 
+    # max_dist=3 -> nb=4 blocks: the pigeonhole completeness bound holds
+    # (a fixed-nb=4 blocking with max_dist=16 missed pairs whose diffs
+    # span all four blocks — ADVICE r01)
     return hamming_pairs(simhash(shingles(_docs(spark, sf_dir))),
-                         max_dist=16)
+                         max_dist=3)
 
 
 def q_embedding_topk(spark, sf_dir):
@@ -912,7 +915,7 @@ def oracle_sql() -> dict[str, str]:
         "SELECT a, b, dist FROM (SELECT a, b, CAST(list_sum("
         "list_transform(generate_series(1, 32), k -> CASE WHEN "
         "substr(ha, k, 1) <> substr(hb, k, 1) THEN 1 ELSE 0 END)) AS INT) "
-        "AS dist FROM candh) WHERE dist <= 16"
+        "AS dist FROM candh) WHERE dist <= 3"
     )
     _E = (
         "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "

@@ -254,6 +254,11 @@ class _Parser:
         if typ != "omfile":
             raise ValueError(f"unsupported action type {typ!r}")
         path = p.get("file") or p.get("dynafile") or p.get("dynfile")
+        if path is None:
+            raise ValueError(
+                "omfile action requires file= or dynaFile= (omfile.c "
+                "mandatory params)"
+            )
         sink = os.path.splitext(os.path.basename(path))[0]
         tpl = p.get("template")
         if tpl:

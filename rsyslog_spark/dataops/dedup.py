@@ -190,13 +190,20 @@ def simhash(sh: DataFrame, bits: int = 32) -> DataFrame:
     )
 
 
-def hamming_pairs(sim: DataFrame, max_dist: int = 3) -> DataFrame:
+def hamming_pairs(sim: DataFrame, max_dist: int = 3, bits: int = 32) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance.
 
-    Scale path: block on 4 byte-bands of the bitstring (a pair within
-    distance d<bits/4 must agree on >=1 band) — same LSH trick as
-    MinHash banding; the quadratic join only happens inside blocks."""
-    nb = 4
+    Scale path: block on ``nb = max_dist + 1`` bands of the bitstring —
+    by pigeonhole a pair within Hamming distance ``max_dist`` MUST agree
+    exactly on at least one band (even when the bands don't cover every
+    bit: a subset of the <= max_dist differing bits falls in covered
+    bands, and nb > max_dist bands leave one diff-free). Same LSH trick
+    as MinHash banding; the quadratic join only happens inside blocks.
+    nb is derived, not fixed: a fixed nb=4 with max_dist=16 would
+    silently miss pairs whose differing bits span all four blocks."""
+    nb = max_dist + 1
+    if nb > bits:
+        raise ValueError(f"max_dist {max_dist} needs {nb} blocks > {bits} bits")
     sim2 = sim.select(
         "id",
         "simhash",

@@ -7,10 +7,13 @@ streaming-compatible column transforms) → ``foreachBatch`` fan-out.
 foreachBatch is deliberate, not a fallback: rsyslog's action commit is
 per dequeued batch (actionCommitAllDirect, runtime/action.c:1617-1635,
 called at batch end ruleset.c:672-675), so micro-batch = the reference's
-transaction unit. Each micro-batch appends to every sink table and to
-the metrics table; the streaming checkpoint (WAL + offsets) plays the
-role of the disk queue's .qi file (queue.c:176) — exactly-once per
-micro-batch across restarts.
+transaction unit. Sink writes are made IDEMPOTENT per micro-batch: every
+write is partitioned by ``batch_id`` and uses dynamic partition
+overwrite, so a batch replayed after a crash (some sinks written, the
+checkpoint not yet committed) overwrites its own partitions instead of
+appending duplicates — replay + idempotent write = effective
+exactly-once for the sink tables; the streaming checkpoint (WAL +
+offsets) plays the role of the disk queue's .qi file (queue.c:176).
 """
 
 from __future__ import annotations
@@ -60,19 +63,24 @@ def stream_flagship(
                     c for c in DEFAULT_SINK_COLUMNS if c in out.columns
                 ]
                 n = out.count()
+                # batch_id partition + dynamic overwrite = idempotent
+                # replay (a re-run batch replaces exactly its own data)
                 w = (
                     out.select(*cols)
-                    .write.mode("append")
+                    .withColumn("batch_id", F.lit(batch_id))
+                    .write.mode("overwrite")
+                    .option("partitionOverwriteMode", "dynamic")
                     .format(spec.format)
+                    .partitionBy("batch_id", *spec.partition_by)
                 )
-                if spec.partition_by:
-                    w = w.partitionBy(*spec.partition_by)
                 w.save(f"{base_path}/{a.sink}")
                 rows.append((batch_id, a.sink, n))
             spark = batch_df.sparkSession
             spark.createDataFrame(
                 rows, "batch_id long, sink string, n long"
-            ).write.mode("append").parquet(f"{base_path}/metrics")
+            ).write.mode("overwrite").option(
+                "partitionOverwriteMode", "dynamic"
+            ).partitionBy("batch_id").parquet(f"{base_path}/metrics")
         finally:
             annotated.unpersist()
 

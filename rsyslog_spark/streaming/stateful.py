@@ -45,8 +45,14 @@ def _suppress_impl(key, pdf_iter, state: GroupState, state_ttl_ms):
 
     cur = state.get if state.exists else None
     out = []
-    for pdf in pdf_iter:
-        pdf = pdf.sort_values("turn_idx")
+    # applyInPandasWithState delivers a group's rows as multiple Arrow
+    # chunks with NO cross-chunk ordering guarantee — materialize the
+    # whole group and sort ONCE, or a conversation spanning chunk
+    # boundaries (>~10k rows / multiple input files) would be collapsed
+    # per-chunk and produce split runs with wrong repeat_count values.
+    chunks = [pdf for pdf in pdf_iter if len(pdf)]
+    if chunks:
+        pdf = pd.concat(chunks).sort_values("turn_idx")
         for turn, msg in zip(pdf["turn_idx"], pdf["msg"]):
             if cur is not None and cur[0] == msg:
                 cur = (cur[0], cur[1], cur[2] + 1)
