@@ -60,7 +60,7 @@ def _ok(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _archive_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     annotated, actions = build_flagship(_transcripts(spark, sf_dir))
     act = next(a for a in actions if a.sink == "archive")
-    return annotated.filter(F.col(act.pred_col)).select(
+    return act.output(annotated).select(
         "conv_id", "turn_idx", F.col(act.out_col).alias("line")
     )
 
@@ -398,6 +398,117 @@ def q_dyn_inc_capped(spark, sf_dir):
     )
 
 
+_CONF_FE = """
+template(name="kv" type="string" string="%$.e!key%=%$.e!value%")
+ruleset(name="fe") {
+    if parse_json($msg, "$!doc") == 0 then {
+        foreach ($.e in $!doc) do {
+            action(type="omfile" file="/log/pairs.log" template="kv")
+        }
+    }
+}
+"""
+
+
+def q_foreach_vars(spark, sf_dir):
+    """S_FOREACH over a JSON object in the $! tree (execForeach,
+    runtime/ruleset.c:322-418; tests/json_object_looping.sh): one output
+    row per {key,value} pair, via the config-text grammar end to end."""
+    from rsyslog_spark.config import compile_config
+
+    ann, actions = compile_config(_ok(spark, sf_dir), _CONF_FE, entry="fe")
+    a = actions[0]
+    return a.output(ann).select(
+        "i",
+        F.element_at("vars", "e!key").alias("k"),
+        F.element_at("vars", "e!value").alias("v"),
+        F.col(a.out_col).alias("line"),
+    )
+
+
+_CONF_CI = """
+ruleset(name="sev0" queue.type="linkedlist") {
+    set $!t = "queued";
+    action(type="omfile" file="/log/urgent.log")
+    stop
+}
+ruleset(name="sev1") {
+    action(type="omfile" file="/log/routine.log")
+    stop
+}
+ruleset(name="ci") {
+    set $!t = "pre";
+    call_indirect "sev" & cstr($syslogseverity / 4);
+    action(type="omfile" file="/log/tail.log")
+}
+"""
+
+
+def q_call_indirect(spark, sf_dir):
+    """call_indirect to a computed ruleset name (execCallIndirect,
+    ruleset.c:241-281) + queued-call isolation (execCall MsgDup branch,
+    :283-302; tests/omruleset-queue.sh): 'sev0' has its own queue so its
+    stop/set do NOT affect the caller; 'sev1' is inline so its stop
+    does. 'vars_pre' proves the queued set never leaked."""
+    from rsyslog_spark.config import compile_config
+
+    ann, actions = compile_config(_ok(spark, sf_dir), _CONF_CI, entry="ci")
+    pairs = ", ".join(f"'{a.sink}', {a.pred_col}" for a in actions)
+    stacked = (
+        ann.selectExpr(f"stack({len(actions)}, {pairs}) as (sink, hit)")
+        .filter("hit")
+        .groupBy("sink")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    pre = (
+        ann.filter(F.element_at(F.col("vars"), "t") == "pre")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("vars_pre").alias("sink"), "n")
+    )
+    return stacked.unionByName(pre)
+
+
+_CONF_CALC = """
+ruleset(name="calc") {
+    set $.code = ($syslogseverity * 8 + $syslogfacility) % 100;
+    set $.fld = field($msg, 58, 2);
+    set $.hex = int2hex($syslogseverity * 256 + 7);
+    set $.neg = -$syslogseverity + 2;
+    set $.ok = parse_json($msg, "$!doc");
+    set $.e1 = script_error();
+    set $.lvl = get_property($!doc, "lvl");
+    set $.pt = parse_time($msg);
+    set $.e2 = script_error();
+    set $.sum = $.code & "-" & cstr($syslogseverity);
+}
+"""
+
+
+def q_config_text_calc(spark, sf_dir):
+    """Config-grammar completeness: arithmetic with the reference
+    precedence table (grammar.y:120-124) incl. div-0->0 and unary minus,
+    function registry calls (field with char-code delim, int2hex, cstr —
+    rainerscript.c:3730-3763), parse_json into a container
+    (rainerscript.c:1795-1820), get_property member access (:1834-1944),
+    and the script_error() channel after a failed parse_time (:2693)."""
+    from rsyslog_spark.config import compile_config
+
+    ann, _ = compile_config(_ok(spark, sf_dir), _CONF_CALC, entry="calc")
+    v = lambda k: F.element_at(F.col("vars"), k)  # noqa: E731
+    return ann.select(
+        "i",
+        v("code").cast("long").alias("code"),
+        v("fld").alias("fld"),
+        v("hex").alias("hex"),
+        v("neg").cast("long").alias("neg"),
+        v("e1").cast("int").alias("e1"),
+        v("lvl").alias("lvl"),
+        v("pt").cast("long").alias("pt"),
+        v("e2").cast("int").alias("e2"),
+        v("sum").alias("sum_s"),
+    )
+
+
 # --- training-data ops (rsyslog_spark.dataops) -----------------------------
 
 
@@ -571,6 +682,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rs_functions": q_rs_functions,
         "impstats": q_impstats,
         "config_text_routing": q_config_text_routing,
+        "foreach_vars": q_foreach_vars,
+        "call_indirect": q_call_indirect,
+        "config_text_calc": q_config_text_calc,
         "template_options": q_template_options,
         "rs_functions2": q_rs_functions2,
         "mm_anon": q_mm_anon,
@@ -781,6 +895,45 @@ def oracle_sql() -> dict[str, str]:
         "UNION ALL SELECT 'lazy_low', count(*) FROM p WHERE parse_success "
         "AND msg LIKE '%lazy%' AND syslogseverity >= 4 "
         "UNION ALL SELECT 'rest', count(*) FROM p WHERE parse_success"
+    )
+    _sevname = (
+        "CASE i % 8 WHEN 0 THEN 'emerg' WHEN 1 THEN 'alert' "
+        "WHEN 2 THEN 'crit' WHEN 3 THEN 'err' WHEN 4 THEN 'warning' "
+        "WHEN 5 THEN 'notice' WHEN 6 THEN 'info' ELSE 'debug' END"
+    )
+    o["foreach_vars"] = with_parsed_oracle(
+        "SELECT i, k, v, k || '=' || v AS line FROM ("
+        "SELECT i, 'msgnum' AS k, CAST(i AS VARCHAR) AS v FROM p "
+        "WHERE parse_success AND msg LIKE '{%' "
+        f"UNION ALL SELECT i, 'lvl', {_sevname} FROM p "
+        "WHERE parse_success AND msg LIKE '{%')"
+    )
+    # sev/4: 0 for sev<=3 ('sev0', queued: stop/set isolated),
+    # 1 for sev>=4 ('sev1', inline: stop propagates to 'tail')
+    _sev = "(CASE WHEN i % 10 <= 7 THEN i % 8 ELSE 5 END)"
+    _fac = "(CASE WHEN i % 10 <= 7 THEN i % 24 ELSE 1 END)"
+    o["call_indirect"] = with_parsed_oracle(
+        "SELECT 'urgent' AS sink, count(*) AS n FROM p "
+        f"WHERE parse_success AND {_sev} <= 3 "
+        "UNION ALL SELECT 'routine', count(*) FROM p "
+        f"WHERE parse_success AND {_sev} > 3 "
+        "UNION ALL SELECT 'tail', count(*) FROM p "
+        f"WHERE parse_success AND {_sev} <= 3 "
+        "UNION ALL SELECT 'vars_pre', count(*) FROM p WHERE parse_success"
+    )
+    o["config_text_calc"] = with_parsed_oracle(
+        "SELECT i, "
+        f"CAST(({_sev} * 8 + {_fac}) % 100 AS BIGINT) AS code, "
+        "coalesce(list_extract(string_split(msg, ':'), 2), "
+        "'***FIELD NOT FOUND***') AS fld, "
+        f"lower(to_hex({_sev} * 256 + 7)) AS hex, "
+        f"CAST(2 - {_sev} AS BIGINT) AS neg, "
+        "CASE WHEN msg LIKE '{%' THEN 0 ELSE 1 END AS e1, "
+        f"CASE WHEN msg LIKE '{{%' THEN {_sevname} ELSE '' END AS lvl, "
+        "CAST(0 AS BIGINT) AS pt, 1 AS e2, "
+        f"CAST(({_sev} * 8 + {_fac}) % 100 AS VARCHAR) || '-' || "
+        f"CAST({_sev} AS VARCHAR) AS sum_s "
+        "FROM p WHERE parse_success"
     )
     _JESC = (
         "replace(replace(replace(replace(replace({x}, '\\', '\\\\'), "

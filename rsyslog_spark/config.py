@@ -11,38 +11,53 @@ supported subset and run it unchanged.
 Supported subset (each maps to grammar.y constructs):
 - template(name="T" type="string" string="...")      grammar.y obj / template.c
 - $template T,"..."                                  legacy directive
-- ruleset(name="r") { ... }                          grammar.y:150
+- ruleset(name="r" [queue.type="..."]) { ... }       grammar.y:150; a
+  queue.* parameter marks the ruleset QUEUED: `call` targets with a
+  queue get copy semantics (execCall MsgDup branch, ruleset.c:283-302)
 - if EXPR then { ... } [else { ... }]                grammar.y:183-228
-- EXPR: $prop / $!var refs, string/number literals,
+- foreach ($.x in EXPR) do { ... }                   S_FOREACH grammar.y:174
+- EXPR: full expression grammar with the REFERENCE precedence table
+  (grammar.y:120-124: and/or < comparisons < + - & < * / % < unary -/not):
+  $prop / $!var refs, string/number literals, arithmetic with
+  division-by-zero -> 0 (COMP_NUM_BINOP_DIV rainerscript.c:2996-3005),
   == != <> < <= > >= contains contains_i startswith startswith_i,
-  and/or/not, parens, prifilt("..."), re_match($p,"re"),
-  $prop == ["a","b"] array membership                rainerscript.c:3056-3463
+  and/or/not, parens, `&` concat, array membership, and the FUNCTION
+  REGISTRY (rainerscript.c:3730-3763) — see _FUNNAMES below
 - action(type="omfile" file|dynaFile="..." [template="T"])   tools/omfile.c
 - action(type="omdiscard")  -> stop                  rainerscript.c:5088
-- set $!k = EXPR; unset $!k;                         ruleset.c:220-239
-- call rulesetname                                   ruleset.c:283
+- set/reset $!k = EXPR; unset $!k;                   ruleset.c:220-239
+  (reset = force overwrite, grammar.y RESET -> force_reset=1)
+- call rulesetname; call_indirect EXPR;              ruleset.c:241-302
 - stop / ~                                           ruleset.c:595
+- lookup_table(name="t" file="x.json")               lookup.c table defs
 - legacy selector lines: 'PRIFILT  /path' and ':prop, op, "v"  /path'
                                                      conf.c:350-478
 - module(...) / input(...) parsed and recorded (inputs are tables here)
+
+script_error() support: the parser threads a per-row error column
+through the statement walk — each fallible call (parse_time, is_time,
+get_property, parse_json) replaces it (wtiSetScriptErrno semantics,
+rainerscript.c:2647,2693,2748,1942); script_error() returns the state
+as of its position (sequential-exec faithful because the parse IS
+sequential).
 """
 
 from __future__ import annotations
 
 import os
 import re
-import shlex
 from dataclasses import dataclass, field
 
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-from rsyslog_spark.coerce import rs_is_number, rs_to_number, rs_to_string
+from rsyslog_spark.coerce import rs_div, rs_is_number, rs_mod, rs_to_number, rs_to_string
 from rsyslog_spark.filters import prifilt_predicate, propfilt_predicate
-from rsyslog_spark.functions import rs_re_match
 from rsyslog_spark.route import (
     Action,
     Call,
+    CallIndirect,
+    Foreach,
     If,
     RouteCompiler,
     Ruleset,
@@ -61,10 +76,10 @@ _TOKEN_RE = re.compile(
     r"""
     (?P<ws>\s+|\#[^\n]*)
   | (?P<string>"(?:[^"\\]|\\.)*")
-  | (?P<number>-?\d+)
+  | (?P<number>\d+)
   | (?P<prop>\$[!./]?[A-Za-z0-9_!\.\-]+)
   | (?P<name>[A-Za-z_][A-Za-z0-9_\-\.]*)
-  | (?P<op><>|==|!=|<=|>=|<|>|=|\{|\}|\(|\)|\[|\]|,|;|~|&)
+  | (?P<op><>|==|!=|<=|>=|<|>|=|\{|\}|\(|\)|\[|\]|,|;|~|&|\+|-|\*|/|%)
     """,
     re.VERBOSE,
 )
@@ -113,6 +128,8 @@ class ParsedConfig:
     sink_templates: dict[str, str] = field(default_factory=dict)
     modules: list[dict] = field(default_factory=list)
     inputs: list[dict] = field(default_factory=list)
+    lookups: dict = field(default_factory=dict)  # name -> LookupTable
+    queued: set = field(default_factory=set)  # rulesets with own queue
     main: list = field(default_factory=list)  # statements outside rulesets
 
     def compiler(self) -> RouteCompiler:
@@ -121,7 +138,39 @@ class ParsedConfig:
             rc.add(rs)
         if self.main:
             rc.add(Ruleset("main", self.main))
+        rc.queued = set(self.queued)
+        # `call X` where X has a queue = queued call (the grammar can't
+        # know at parse time: the ruleset may be declared later)
+        _mark_queued_calls(rc.rulesets.values(), self.queued)
         return rc
+
+
+def _mark_queued_calls(rulesets, queued: set):
+    def walk(stmts):
+        for st in stmts:
+            if isinstance(st, Call) and st.ruleset in queued:
+                st.queued = True
+            for sub in ("then", "els", "body"):
+                if hasattr(st, sub):
+                    walk(getattr(st, sub))
+
+    for rs in rulesets:
+        walk(rs.stmts)
+
+
+# functions callable in config expressions (registry parity:
+# rainerscript.c:3730-3763). Stateful/environment entries intentionally
+# excluded: dyn_inc (aggregation-side analog rsyslog_spark.agg.dyn_inc),
+# random (nondeterminism breaks golden tests — reference testbench
+# avoids it too), previous_action_suspended (no suspension concept).
+_FUNNAMES = {
+    "strlen", "getenv", "num2ipv4", "int2hex", "substring", "ltrim",
+    "rtrim", "tolower", "cstr", "cnum", "ip42num", "ipv42num",
+    "re_match", "re_match_i", "re_extract", "re_extract_i", "field",
+    "exec_template", "prifilt", "lookup", "replace", "wrap",
+    "format_time", "parse_time", "is_time", "parse_json",
+    "get_property", "script_error", "exists",
+}
 
 
 class _Parser:
@@ -129,6 +178,15 @@ class _Parser:
         self.t = tokens
         self.i = 0
         self.cfg = cfg
+        # script_error() channel (wtiGetScriptErrno analog): per-row
+        # error state as of the current parse position
+        self._script_err: Column = F.lit(0)
+        # side-effect statements produced while parsing an expression
+        # (parse_json writes its container var): flushed into the
+        # statement list JUST BEFORE the statement whose expression
+        # produced them — the reference evaluates them during condition
+        # evaluation, i.e. unconditionally at that point
+        self._pre_stmts: list = []
 
     # -- token helpers ---------------------------------------------------
     def peek(self, k=0):
@@ -169,6 +227,10 @@ class _Parser:
             self.cfg_statement(into)
         self.expect("}")
 
+    def _flush_pre(self, into: list):
+        into.extend(self._pre_stmts)
+        self._pre_stmts = []
+
     def cfg_statement(self, into: list):
         kind, v = self.peek()
         if v == ";":
@@ -189,6 +251,20 @@ class _Parser:
                 body: list = []
                 self.block(body)
                 self.cfg.rulesets[p["name"]] = Ruleset(p["name"], body)
+                if any(k.startswith("queue.") for k in p):
+                    self.cfg.queued.add(p["name"])
+                return
+            if lword == "lookup_table":
+                # lookup_table(name="t" file="x.json") — table object
+                # (lookup.c JSON format, loaded once at config time like
+                # lookupReload)
+                self.next()
+                p = self.params()
+                from rsyslog_spark.lookup import LookupTable
+
+                self.cfg.lookups[p["name"]] = LookupTable.from_json_file(
+                    p["name"], p["file"]
+                )
                 return
             if lword == "module":
                 self.next()
@@ -205,6 +281,7 @@ class _Parser:
             if lword == "if":
                 self.next()
                 cond = self.expr()
+                self._flush_pre(into)
                 _, t = self.next()
                 if t != "then":
                     raise ValueError(f"expected 'then', got {t!r}")
@@ -216,11 +293,34 @@ class _Parser:
                     self.block(els)
                 into.append(If(cond, then, els))
                 return
-            if lword == "set":
+            if lword == "foreach":
+                # foreach ($.x in EXPR) do { ... }  (grammar.y:174,
+                # iterator_decl; execForeach ruleset.c:392-418)
+                self.next()
+                self.expect("(")
+                _, var = self.next()
+                _, inkw = self.next()
+                if inkw != "in":
+                    raise ValueError(f"expected 'in', got {inkw!r}")
+                coll = self.expr()
+                self.expect(")")
+                _, do = self.next()
+                if do != "do":
+                    raise ValueError(f"expected 'do', got {do!r}")
+                self._flush_pre(into)
+                body: list = []
+                self.block(body)
+                into.append(Foreach(var, coll, "auto", body))
+                return
+            if lword in ("set", "reset"):
                 self.next()
                 _, name = self.next()
                 self.expect("=")
-                into.append(Set(name, rs_to_string(self.expr())))
+                into.append(
+                    Set(name, rs_to_string(self.expr()),
+                        force_reset=(lword == "reset"))
+                )
+                self._flush_pre(into)
                 if self.peek()[1] == ";":
                     self.next()
                 return
@@ -235,6 +335,14 @@ class _Parser:
                 self.next()
                 _, name = self.next()
                 into.append(Call(name))
+                return
+            if lword == "call_indirect":
+                self.next()
+                e = self.expr()
+                self._flush_pre(into)
+                into.append(CallIndirect(rs_to_string(e)))
+                if self.peek()[1] == ";":
+                    self.next()
                 return
             if lword == "stop":
                 self.next()
@@ -269,44 +377,97 @@ class _Parser:
             return Action(sink, compile_template(tpl_text))
         return Action(sink)
 
-    # -- expressions (precedence: or < and < not < cmp < primary) --------
+    # -- expressions -----------------------------------------------------
+    # Reference precedence (grammar.y:120-124), lowest to highest:
+    #   %left AND OR                  (SAME level, left-assoc!)
+    #   %left all comparisons
+    #   %left '+' '-' '&'
+    #   %left '*' '/' '%'
+    #   %nonassoc UMINUS NOT
+    # Every level returns (Column, is_stringish) so the mixed-type
+    # comparison dance keeps working through parens/concat/arith
+    # (ADVICE r01: parens must not change comparison semantics).
+
     def expr(self) -> Column:
-        left = self.and_expr()
-        while self.peek()[1] == "or":
-            self.next()
-            left = left | self.and_expr()
-        return left
+        col, _ = self.expr_v()
+        return col
 
-    def and_expr(self) -> Column:
-        left = self.not_expr()
-        while self.peek()[1] == "and":
-            self.next()
-            left = left & self.not_expr()
-        return left
-
-    def not_expr(self) -> Column:
-        if self.peek()[1] == "not":
-            self.next()
-            return ~self.not_expr()
-        return self.cmp_expr()
+    def expr_v(self) -> tuple[Column, bool]:
+        left, ls = self.cmp_expr()
+        while self.peek()[1] in ("and", "or"):
+            _, op = self.next()
+            right, _ = self.cmp_expr()
+            left = (left & right) if op == "and" else (left | right)
+            ls = False
+        return left, ls
 
     _CMP = {"==", "!=", "<>", "<", "<=", ">", ">="}
     _STR_OPS = {"contains", "contains_i", "startswith", "startswith_i"}
 
-    def cmp_expr(self) -> Column:
-        left, left_is_str = self.concat_expr()
-        kind, op = self.peek()
-        if op in self._CMP or op in self._STR_OPS:
+    def cmp_expr(self) -> tuple[Column, bool]:
+        left, left_is_str = self.sum_expr()
+        while True:
+            kind, op = self.peek()
+            if op not in self._CMP and op not in self._STR_OPS:
+                return left, left_is_str
             self.next()
             if self.peek()[1] == "[":
                 arr = self.array_literal()
-                return self.array_cmp(left, op, arr)
-            right, right_is_str = self.concat_expr()
-            return self.compare(left, op, right, left_is_str, right_is_str)
-        # bare value (boolean property in condition position, or a value
-        # expression for `set`) — no coercion here; rsyslog's boolean
-        # context truthiness applies var2Number != 0, done by callers
-        return left
+                left = self.array_cmp(left, op, arr)
+            else:
+                right, right_is_str = self.sum_expr()
+                left = self.compare(left, op, right, left_is_str, right_is_str)
+            left_is_str = False  # booleans compare numerically
+
+    def sum_expr(self) -> tuple[Column, bool]:
+        """'+' '-' '&' — one precedence level, left-assoc
+        (grammar.y:122). '&' renders numbers decimal
+        (rainerscript.c:3468-3479); +/- are var2Number arithmetic."""
+        left, ls = self.prod_expr()
+        while self.peek()[1] in ("+", "-", "&"):
+            _, op = self.next()
+            right, rs = self.prod_expr()
+            if op == "&":
+                left = F.concat(rs_to_string(left), rs_to_string(right))
+                ls = True
+            else:
+                ln, rn = rs_to_number(left), rs_to_number(right)
+                left = (ln + rn) if op == "+" else (ln - rn)
+                ls = False
+        return left, ls
+
+    def prod_expr(self) -> tuple[Column, bool]:
+        """'*' '/' '%' (grammar.y:123); division by zero yields 0
+        (COMP_NUM_BINOP_DIV, rainerscript.c:2996-3005)."""
+        left, ls = self.unary_expr()
+        while self.peek()[1] in ("*", "/", "%"):
+            _, op = self.next()
+            right, _ = self.unary_expr()
+            ln, rn = rs_to_number(left), rs_to_number(right)
+            if op == "*":
+                left = ln * rn
+            elif op == "/":
+                left = rs_div(ln, rn)
+            else:
+                left = rs_mod(ln, rn)
+            ls = False
+        return left, ls
+
+    def unary_expr(self) -> tuple[Column, bool]:
+        """UMINUS and NOT bind TIGHTEST (%nonassoc, grammar.y:124):
+        `not $x == 1` is (not $x) == 1 in the reference."""
+        kind, v = self.peek()
+        if v == "-":
+            self.next()
+            operand, _ = self.unary_expr()
+            return -rs_to_number(operand), False
+        if v == "not":
+            self.next()
+            operand, _ = self.unary_expr()
+            # rsyslog truthiness: !var2Number(x) — rs_to_number maps
+            # booleans 1/0 so this is uniform across operand kinds
+            return ~(rs_to_number(operand) != 0), False
+        return self.primary()
 
     def array_literal(self) -> list[str]:
         self.expect("[")
@@ -371,43 +532,63 @@ class _Parser:
         f = ops[op]
         return F.when(num_mode, f(ln, rn)).otherwise(f(ls, rs))
 
-    def concat_expr(self) -> tuple[Column, bool]:
-        """``&`` string concat (rainerscript.c:3468-3479: numbers render
-        decimal) — binds tighter than comparisons."""
-        left, l_str = self.primary()
-        while self.peek()[1] == "&":
-            self.next()
-            right, _ = self.primary()
-            left = F.concat(rs_to_string(left), rs_to_string(right))
-            l_str = True
-        return left, l_str
-
     def primary(self) -> tuple[Column, bool]:
         """Returns (column, is_stringish) for coercion decisions."""
         kind, v = self.next()
         if v == "(":
-            e = self.expr()
+            e, s = self.expr_v()
             self.expect(")")
-            return e, False
+            # stringishness flows THROUGH parens (rainerscript has no
+            # paren node at all — ADVICE r01 fix)
+            return e, s
         if kind == "string":
             return F.lit(_unquote(v)), True
         if kind == "number":
             return F.lit(int(v)), False
         if kind == "prop":
             return self.prop_column(v), True
-        if kind == "name" and v == "prifilt":
+        if kind == "name" and self.peek()[1] == "(":
+            return self.func_call(v)
+        raise ValueError(f"unsupported expression token {v!r}")
+
+    # -- function registry ----------------------------------------------
+    def fparams(self) -> list[tuple[Column, bool, object]]:
+        """'(' expr, expr, ... ')' — each as (col, is_str, literal).
+        ``literal`` is the python value when the param is a single
+        string/number token (needed for compile-time params: regex
+        patterns, table/template names, formats), else None."""
+        self.expect("(")
+        out = []
+        while self.peek()[1] != ")":
+            lit = None
+            kind, v = self.peek()
+            nxt = self.peek(1)[1]
+            if kind in ("string", "number") and nxt in (",", ")"):
+                lit = _unquote(v) if kind == "string" else int(v)
+            col, s = self.expr_v()
+            out.append((col, s, lit))
+            if self.peek()[1] == ",":
+                self.next()
+        self.expect(")")
+        return out
+
+    def _set_err(self, err: Column):
+        self._script_err = err.cast("int")
+
+    def func_call(self, name: str) -> tuple[Column, bool]:
+        """Function registry (rainerscript.c:3730-3763). Fallible calls
+        update the script_error() channel exactly like wtiSetScriptErrno."""
+        from rsyslog_spark import functions as rf
+
+        name = name.lower()
+        if name not in _FUNNAMES:
+            raise ValueError(f"unknown function {name!r} (registry parity: "
+                             "rainerscript.c:3730-3763)")
+        if name == "script_error":
             self.expect("(")
-            _, sel = self.next()
             self.expect(")")
-            return (
-                prifilt_predicate(
-                    _unquote(sel),
-                    F.col("syslogfacility"),
-                    F.col("syslogseverity"),
-                ),
-                False,
-            )
-        if kind == "name" and v == "exists":
+            return self._script_err, False
+        if name == "exists":
             # exists($!x): property existence, NOT empty-string test
             # (grammar.y:222, msgCheckVarExists msg.h:234)
             self.expect("(")
@@ -419,21 +600,194 @@ class _Parser:
                     False,
                 )
             return resolve_property(ref[1:]).isNotNull(), False
-        if kind == "name" and v in ("re_match", "re_match_i"):
+        if name == "prifilt":
             self.expect("(")
-            s, _ = self.primary()
-            self.expect(",")
-            _, pat = self.next()
+            _, sel = self.next()
             self.expect(")")
             return (
-                rs_re_match(s, _unquote(pat), case_insensitive=v.endswith("_i")),
+                prifilt_predicate(
+                    _unquote(sel),
+                    F.col("syslogfacility"),
+                    F.col("syslogseverity"),
+                ),
                 False,
             )
-        raise ValueError(f"unsupported expression token {v!r}")
+        if name == "get_property":
+            # doFunc_get_property (rainerscript.c:1834-1944): JSON-var
+            # source -> member lookup (missing key = EINVAL + ''),
+            # string property source -> the string itself (EOK),
+            # string literal source -> EINVAL + ''
+            self.expect("(")
+            kind0, ref = self.peek()
+            if kind0 == "prop" and ref.startswith(("$!", "$.")):
+                self.next()
+                self.expect(",")
+                (keyc, _, keylit), = [self.fparam_one()]
+                self.expect(")")
+                base = ref[2:]
+                flat = F.concat(F.lit(base + "!"), rs_to_string(keyc))
+                direct = F.element_at(F.col("vars"), flat)
+                # containers stored as JSON text (parse_json) resolve
+                # through get_json_object on the stored value
+                stored = F.element_at(F.col("vars"), F.lit(base))
+                via_json = F.element_at(
+                    F.from_json(stored, "map<string,string>"),
+                    rs_to_string(keyc),
+                )
+                val = F.coalesce(direct, via_json)
+                self._set_err(F.when(val.isNull(), 1).otherwise(0))
+                return F.coalesce(val, F.lit("")), True
+            # non-var source
+            args = self.fparams_rest()
+            (srcc, src_s, srclit) = args[0]
+            if srclit is not None:
+                self._set_err(F.lit(1))  # literal source: EINVAL
+                return F.lit(""), True
+            self._set_err(F.lit(0))
+            return rs_to_string(srcc), True
+        p = self.fparams()
+
+        def lit_or(i, default=None):
+            return p[i][2] if i < len(p) and p[i][2] is not None else default
+
+        c = [x[0] for x in p]
+        if name == "strlen":
+            return rf.rs_strlen(c[0]), False
+        if name == "getenv":
+            # evaluated at config-load time (driver-side env; executors
+            # may differ — the reference reads the daemon's env, same
+            # single-process semantics)
+            val = os.environ.get(str(lit_or(0, "")), "")
+            return F.lit(val), True
+        if name == "num2ipv4":
+            return rf.rs_num2ipv4(rs_to_number(c[0])), True
+        if name == "int2hex":
+            return rf.rs_int2hex(rs_to_number(c[0])), True
+        if name == "substring":
+            return rf.rs_substring(rs_to_string(c[0]), c[1], c[2]), True
+        if name == "ltrim":
+            return rf.rs_ltrim(rs_to_string(c[0])), True
+        if name == "rtrim":
+            return rf.rs_rtrim(rs_to_string(c[0])), True
+        if name == "tolower":
+            return rf.rs_tolower(rs_to_string(c[0])), True
+        if name == "cstr":
+            return rf.rs_cstr(c[0]), True
+        if name == "cnum":
+            return rf.rs_cnum(c[0]), False
+        if name in ("ip42num", "ipv42num"):
+            return rf.rs_ipv42num(rs_to_string(c[0])), False
+        if name in ("re_match", "re_match_i"):
+            pat = lit_or(1)
+            if pat is None:
+                raise ValueError("re_match pattern must be a literal "
+                                 "(compiled at config time, initFunc_re_match)")
+            return (
+                rf.rs_re_match(rs_to_string(c[0]), str(pat),
+                               case_insensitive=name.endswith("_i")),
+                False,
+            )
+        if name in ("re_extract", "re_extract_i"):
+            pat = lit_or(1)
+            if pat is None:
+                raise ValueError("re_extract pattern must be a literal")
+            return (
+                rf.rs_re_extract(
+                    rs_to_string(c[0]), str(pat),
+                    int(lit_or(2, 0)), int(lit_or(3, 0)),
+                    str(lit_or(4, "")),
+                ),
+                True,
+            )
+        if name == "field":
+            delim = lit_or(1)
+            # numeric delim = char code (doFunct_Field; field($msg,58,2)
+            # splits on ':'), string delim used as-is
+            d = chr(delim) if isinstance(delim, int) else str(delim)
+            return rf.rs_field(rs_to_string(c[0]), d, c[2]), True
+        if name == "exec_template":
+            tname = str(lit_or(0, ""))
+            tpl_text = self.cfg.templates.get(
+                tname, BUILTIN_TEMPLATES.get(tname)
+            )
+            if tpl_text is None:
+                raise ValueError(f"unknown template {tname!r}")
+            return compile_template(tpl_text), True
+        if name == "lookup":
+            tname = str(lit_or(0, ""))
+            tbl = self.cfg.lookups.get(tname)
+            if tbl is None:
+                raise ValueError(f"unknown lookup table {tname!r} "
+                                 "(declare lookup_table(name=.. file=..))")
+            return tbl.lookup_expr(rs_to_string(c[1])), True
+        if name == "replace":
+            if p[1][2] is not None and p[2][2] is not None:
+                return (
+                    rf.rs_replace(rs_to_string(c[0]), str(p[1][2]),
+                                  str(p[2][2])),
+                    True,
+                )
+            return (
+                F.replace(rs_to_string(c[0]), rs_to_string(c[1]),
+                          rs_to_string(c[2])),
+                True,
+            )
+        if name == "wrap":
+            esc = str(p[2][2]) if len(p) > 2 and p[2][2] is not None else None
+            return rf.rs_wrap(rs_to_string(c[0]), str(lit_or(1, '"')), esc), True
+        if name == "format_time":
+            return (
+                rf.rs_format_time(rs_to_number(c[0]), str(lit_or(1, ""))),
+                True,
+            )
+        if name == "parse_time":
+            s = rs_to_string(c[0])
+            self._set_err(F.when(rf.rs_is_time(s), 0).otherwise(1))
+            return rf.rs_parse_time(s), False
+        if name == "is_time":
+            s = rs_to_string(c[0])
+            ok = rf.rs_is_time(s)
+            self._set_err(F.when(ok, 0).otherwise(1))
+            return ok.cast("int"), False
+        if name == "parse_json":
+            # doFunc_parse_json (rainerscript.c:1795-1820): parse arg0
+            # into the container var arg1; returns 0/EINVAL and sets
+            # script_errno. Side effect = a Set of the container key to
+            # the (validated) JSON text, flushed before the enclosing
+            # statement; nested access goes through get_property.
+            container = str(lit_or(1, ""))
+            key = container.lstrip("$!.").lstrip("!")
+            src = rs_to_string(c[0])
+            valid = F.from_json(src, "map<string,string>").isNotNull()
+            self._pre_stmts.append(
+                Set("$!" + key, F.when(valid, src), force_reset=True)
+            )
+            err = F.when(valid, 0).otherwise(1)
+            self._set_err(err)
+            return err, False
+        raise AssertionError(name)
+
+    def fparam_one(self):
+        lit = None
+        kind, v = self.peek()
+        nxt = self.peek(1)[1]
+        if kind in ("string", "number") and nxt in (",", ")"):
+            lit = _unquote(v) if kind == "string" else int(v)
+        col, s = self.expr_v()
+        return (col, s, lit)
+
+    def fparams_rest(self):
+        out = []
+        while self.peek()[1] != ")":
+            out.append(self.fparam_one())
+            if self.peek()[1] == ",":
+                self.next()
+        self.expect(")")
+        return out
 
     def prop_column(self, ref: str) -> Column:
         if ref.startswith("$!") or ref.startswith("$."):
-            key = ref[2:].replace("!", "!")
+            key = ref[2:]
             return F.element_at(F.col("vars"), F.lit(key))
         return resolve_property(ref[1:])
 
@@ -479,9 +833,11 @@ def _legacy_line(line: str, cfg: ParsedConfig) -> bool:
     return False
 
 
-def parse_config(text: str) -> ParsedConfig:
+def parse_config(text: str, lookups: dict | None = None) -> ParsedConfig:
     """Parse a config text (RainerScript subset + legacy lines)."""
     cfg = ParsedConfig()
+    if lookups:
+        cfg.lookups.update(lookups)
     modern_lines = []
     for line in text.splitlines():
         stripped = line.strip()
@@ -494,10 +850,11 @@ def parse_config(text: str) -> ParsedConfig:
     return _Parser(tokens, cfg).parse()
 
 
-def compile_config(df, text: str, entry: str | None = None):
+def compile_config(df, text: str, entry: str | None = None,
+                   lookups: dict | None = None):
     """Text config -> (annotated DataFrame, actions). ``entry`` defaults
     to 'main' (statements outside any ruleset) or the single ruleset."""
-    cfg = parse_config(text)
+    cfg = parse_config(text, lookups=lookups)
     rc = cfg.compiler()
     if entry is None:
         entry = "main" if cfg.main else next(iter(cfg.rulesets))

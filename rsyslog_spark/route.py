@@ -23,7 +23,20 @@ Statements:
 - PropFilt(prop, op, value, then)     ≙ S_PROPFILT (ruleset.c:537)
 - Set(name, expr, force_reset) /
   Unset(name)                         ≙ S_SET/S_UNSET (ruleset.c:220-239)
-- Call(name)                          ≙ S_CALL inline (ruleset.c:283-302)
+- Call(name)                          ≙ S_CALL inline (ruleset.c:283-302);
+  Call(name, queued=True)             ≙ S_CALL to a ruleset with its own
+  queue (execCall MsgDup branch, ruleset.c:283-302): the target sees a
+  COPY of the message as of the call — its set/unset and stop do NOT
+  affect the caller's continuation (tests/omruleset-queue.sh)
+- CallIndirect(expr)                  ≙ S_CALL_INDIRECT
+  (execCallIndirect, ruleset.c:241-281): ruleset name computed per
+  message; unknown name = NOP ("we accept that a NOP will survive")
+- Foreach(var, collection, mode)      ≙ S_FOREACH (execForeach,
+  ruleset.c:392-418): explode a JSON array (element per iteration) or
+  object ({key,value} pairs, callForeachObject ruleset.c:347-390) into
+  per-element rows; body actions emit one row per ELEMENT. The Spark
+  shape is explode + filtered writes on the exploded plane — the body's
+  per-sink predicates work exactly like the row plane's.
 - Continue()                          ≙ NOP (rainerscript.h:389)
 
 ``omdiscard`` is modeled as Stop() — the reference optimizer rewrites it
@@ -33,6 +46,18 @@ Variables: the ``$!`` tree is a ``vars: map<string,string>`` column;
 set-without-reset does NOT overwrite an existing key (force_reset flag,
 rainerscript.h:140; msgSetJSONFromVar semantics) — replicated via
 map_contains_key guard.
+
+Template rendering is LAZY: compile() annotates the frame with predicate
+(and vars-state) columns only; the rendered output line is attached by
+``CompiledAction.output(df)`` AFTER the sink filter. Two scale effects:
+only matching rows pay the render cost (the reference renders per
+action submission too, tplToString tools/omfile.c path), and the hot
+predicate projection stays small enough for whole-stage codegen (a
+multi-sink eager render collapsed into one Project used to overflow
+janino's 64 KB method limit — PERF.md r01). Position-correct semantics
+(a template sees vars as of ITS statement, ruleset.c sequential exec)
+are preserved by snapshotting the vars map column at the action's
+position whenever the program contains any set/unset.
 """
 
 from __future__ import annotations
@@ -98,6 +123,39 @@ class Unset:
 @dataclass
 class Call:
     ruleset: str
+    queued: bool = False
+
+
+@dataclass
+class CallIndirect:
+    """call_indirect EXPR — target ruleset name computed per message
+    (ruleset.c:241-281). Compiled as a when-cascade over the KNOWN
+    ruleset names: each candidate block runs under path AND
+    (expr == name); a name matching no ruleset is a NOP."""
+    expr: Column
+    queued: bool = False
+
+
+@dataclass
+class Foreach:
+    """foreach (VAR in COLLECTION) do { body } (ruleset.c:322-418).
+
+    ``collection``: Column — array<string> (mode='array'), or
+    map<string,string> (mode='object'), or a JSON-string column
+    (mode='auto': parsed per row, array and object both accepted like
+    execForeach's runtime json type dispatch).
+
+    Inside the body, ``$.VAR`` resolves to the element (objects render
+    as the {"key":..,"value":..} JSON the reference binds,
+    callForeachObject ruleset.c:368-378); ``$.VAR!key`` /
+    ``$.VAR!value`` resolve to the pair parts. The loop variable is
+    removed after the loop (msgDelJSON, ruleset.c:413) — it never
+    leaks to statements after the Foreach.
+    """
+    var: str
+    collection: Column
+    mode: str = "auto"  # 'array' | 'object' | 'auto'
+    body: list = field(default_factory=list)
 
 
 @dataclass
@@ -113,10 +171,30 @@ class Ruleset:
 
 @dataclass
 class CompiledAction:
-    """One sink write: filter predicate column name + payload column."""
+    """One sink write: filter predicate + lazily-rendered payload.
+
+    ``df`` is None for row-plane actions (use the compile() frame);
+    foreach-body actions carry their own exploded frame."""
     sink: str
     pred_col: str
-    out_col: str | None  # None -> whole row
+    out_col: str | None = None  # None -> whole row
+    out_expr: Column | None = None
+    vars_snapshot: str | None = None
+    vars_col: str = "vars"
+    df: DataFrame | None = None
+
+    def output(self, annotated: DataFrame | None = None) -> DataFrame:
+        """This action's rows, with the template rendered AFTER the
+        filter (only matching rows pay the render; the annotated
+        frame's projection stays codegen-small)."""
+        src = self.df if self.df is not None else annotated
+        out = src.filter(F.col(self.pred_col))
+        if self.out_col is None:
+            return out
+        if self.vars_snapshot is not None:
+            # restore the vars state this statement position saw
+            out = out.withColumn(self.vars_col, F.col(self.vars_snapshot))
+        return out.withColumn(self.out_col, self.out_expr)
 
 
 
@@ -124,11 +202,23 @@ def _var_key(name: str) -> str:
     """'$!a!b' / '$.x' / '$/g' -> bag key (path prefix stripped)."""
     return name[2:] if name.startswith(("$!", "$.", "$/")) else name
 
+
+def _has_mutation(stmts: list) -> bool:
+    for st in stmts:
+        if isinstance(st, (Set, Unset, Foreach)):
+            return True
+        for sub in ("then", "els", "body"):
+            if hasattr(st, sub) and _has_mutation(getattr(st, sub)):
+                return True
+    return False
+
+
 class RouteCompiler:
     """Compiles rulesets over a DataFrame into (annotated_df, actions)."""
 
     def __init__(self, rulesets: dict[str, Ruleset] | None = None):
         self.rulesets = rulesets or {}
+        self.queued: set[str] = set()  # rulesets with their own queue
         self._n = 0
 
     def add(self, rs: Ruleset) -> "RouteCompiler":
@@ -141,19 +231,26 @@ class RouteCompiler:
     ) -> tuple[DataFrame, list[CompiledAction]]:
         """Compile the entry ruleset (inlining Call targets) against df.
 
-        Returns the annotated DataFrame (predicate/output columns added,
+        Returns the annotated DataFrame (predicate columns added,
         set/unset applied in statement order) and the action list. The
-        caller fans out with ``df.filter(a.pred_col)`` per action — one
-        scan, N writes (SURVEY §2.8 'deterministic dataflow').
+        caller fans out with ``action.output(df)`` per action — one
+        scan, N writes (SURVEY §2.8 'deterministic dataflow'); templates
+        render after each sink's filter, never in the shared plan.
         """
         if vars_col not in df.columns:
             df = df.withColumn(vars_col, F.create_map().cast("map<string,string>"))
         self._vars_col = vars_col
         self._actions: list[CompiledAction] = []
         self._df = df
+        # templates snapshot vars state only when some statement mutates
+        # it — a mutation-free program (the common case) renders against
+        # the live column with zero extra columns
+        self._need_snapshots = any(
+            _has_mutation(rs.stmts) for rs in self.rulesets.values()
+        )
         true = F.lit(True)
         false = F.lit(False)
-        self._exec_block(self.rulesets[entry].stmts, true, false, set())
+        self._exec_block(self.rulesets[entry].stmts, true, false, {entry})
         return self._df, self._actions
 
     # -------------------------------------------------------------------
@@ -176,6 +273,30 @@ class RouteCompiler:
             )
         raise TypeError(st)
 
+    def _emit_action(self, st: Action, pred: Column, df_override=None):
+        pred_name = self._fresh(f"act_{st.sink}")
+        self._df = self._df.withColumn(pred_name, pred)
+        out_name = out_expr = snap = None
+        if st.template is not None:
+            out_name = self._fresh(f"out_{st.sink}")
+            out_expr = (
+                st.template
+                if isinstance(st.template, Column)
+                else compile_template(st.template)
+            )
+            if self._need_snapshots:
+                # pin the vars state at THIS statement position so a
+                # later set/unset doesn't leak backwards into the
+                # lazily-rendered template (ruleset.c sequential exec)
+                snap = self._fresh("tplvars")
+                self._df = self._df.withColumn(snap, F.col(self._vars_col))
+        self._actions.append(
+            CompiledAction(
+                st.sink, pred_name, out_name, out_expr, snap,
+                self._vars_col, df_override,
+            )
+        )
+
     def _exec_block(
         self, stmts: list, path: Column, stopped: Column, calling: set
     ) -> Column:
@@ -185,20 +306,7 @@ class RouteCompiler:
             if isinstance(st, Continue):
                 continue
             if isinstance(st, Action):
-                pred_name = self._fresh(f"act_{st.sink}")
-                self._df = self._df.withColumn(pred_name, path & ~stopped)
-                out_name = None
-                if st.template is not None:
-                    out_name = self._fresh(f"out_{st.sink}")
-                    col = (
-                        st.template
-                        if isinstance(st.template, Column)
-                        else compile_template(st.template)
-                    )
-                    # evaluate at THIS statement position so later set/
-                    # unset doesn't leak backwards (ruleset.c sequential)
-                    self._df = self._df.withColumn(out_name, col)
-                self._actions.append(CompiledAction(st.sink, pred_name, out_name))
+                self._emit_action(st, path & ~stopped)
             elif isinstance(st, Stop):
                 # everything on this path is stopped from here on
                 stopped = stopped | path
@@ -214,20 +322,21 @@ class RouteCompiler:
             elif isinstance(st, Unset):
                 self._apply_unset(st, path & ~stopped)
             elif isinstance(st, Call):
-                # inline composition (direct-call semantics; a queued
-                # target ruleset would materialize instead, SURVEY §2.8)
                 if st.ruleset in calling:
                     raise ValueError(f"recursive call to {st.ruleset}")
-                stopped = self._exec_block(
+                stopped = self._exec_call(
                     self.rulesets[st.ruleset].stmts,
-                    path,
-                    stopped,
-                    calling | {st.ruleset},
+                    path, stopped, calling | {st.ruleset}, st.queued,
                 )
+            elif isinstance(st, CallIndirect):
+                stopped = self._exec_call_indirect(st, path, stopped, calling)
+            elif isinstance(st, Foreach):
+                self._exec_foreach(st, path & ~stopped, calling)
             else:
                 raise TypeError(f"unknown statement {st!r}")
         return stopped
 
+    # -- set / unset -----------------------------------------------------
     def _apply_set(self, st: Set, active: Column):
         v = self._vars_col
         key = _var_key(st.name)
@@ -257,3 +366,133 @@ class RouteCompiler:
                 active, F.map_filter(cur, lambda k, _: k != F.lit(key))
             ).otherwise(cur),
         )
+
+    # -- call forms ------------------------------------------------------
+    def _exec_call(self, stmts, path, stopped, calling, queued) -> Column:
+        if not queued:
+            # inline composition (direct-call semantics): target stops
+            # and sets flow back into the caller's continuation
+            return self._exec_block(stmts, path, stopped, calling)
+        # queued call = MsgDup + async queue (ruleset.c:283-302): the
+        # target processes a COPY — its set/unset must not be visible to
+        # the caller's later statements, and its stop must not stop the
+        # caller. Save/restore the vars column around the block and
+        # discard the block's stop state.
+        save = self._fresh("qsave")
+        self._df = self._df.withColumn(save, F.col(self._vars_col))
+        self._exec_block(stmts, path & ~stopped, F.lit(False), calling)
+        self._df = self._df.withColumn(self._vars_col, F.col(save)).drop(save)
+        return stopped
+
+    def _exec_call_indirect(self, st: CallIndirect, path, stopped, calling) -> Column:
+        """When-cascade over known ruleset names (the name space is
+        closed at config time, exactly like rulesetGetRuleset's lookup
+        in loadConf). Branches are mutually exclusive, so accumulating
+        stop state sequentially is exact; an unmatched name is a NOP
+        (ruleset.c:258-262)."""
+        name_col = self._fresh("callind")
+        self._df = self._df.withColumn(name_col, st.expr.cast("string"))
+        for name in self.rulesets:
+            if name in calling:
+                continue
+            branch = path & (F.col(name_col) == F.lit(name))
+            stopped = self._exec_call(
+                self.rulesets[name].stmts, branch, stopped,
+                calling | {name},
+                # queue presence decided per TARGET at runtime in the
+                # reference (rulesetHasQueue, ruleset.c:264-276)
+                st.queued or (name in self.queued),
+            )
+        return stopped
+
+    # -- foreach ---------------------------------------------------------
+    def _exec_foreach(self, st: Foreach, active: Column, calling: set):
+        """Explode the collection into per-element rows and compile the
+        body against the exploded plane (execForeach ruleset.c:392-418).
+
+        100 TB shape: ONE explode (row count multiplies by element
+        count, never quadratic), body predicates are plain filters on
+        the exploded frame, sink writes are per-element rows. The
+        exploded frame branches off the CURRENT annotated state, so the
+        caller's vars as of the loop are visible inside the body.
+        """
+        key = _var_key(st.var)
+        col = st.collection
+        if st.mode == "array":
+            items = F.transform(
+                col, lambda x: F.struct(
+                    F.lit(None).cast("string").alias("key"),
+                    x.cast("string").alias("value"),
+                )
+            )
+        elif st.mode == "object":
+            items = F.transform(
+                F.map_entries(col),
+                lambda e: F.struct(
+                    e["key"].cast("string").alias("key"),
+                    e["value"].cast("string").alias("value"),
+                ),
+            )
+        else:  # auto: runtime JSON type dispatch like execForeach
+            as_obj = F.from_json(col, "map<string,string>")
+            as_arr = F.from_json(col, "array<string>")
+            items = F.when(
+                as_obj.isNotNull(),
+                F.transform(
+                    F.map_entries(as_obj),
+                    lambda e: F.struct(
+                        e["key"].alias("key"), e["value"].alias("value")
+                    ),
+                ),
+            ).otherwise(
+                F.transform(
+                    as_arr,
+                    lambda x: F.struct(
+                        F.lit(None).cast("string").alias("key"),
+                        x.alias("value"),
+                    ),
+                )
+            )
+
+        base = self._df.filter(active)
+        ex = base.withColumn("_fe_item", F.explode(items))
+        is_obj = F.col("_fe_item.key").isNotNull()
+        elem = F.when(
+            is_obj,
+            F.to_json(F.struct(
+                F.col("_fe_item.key").alias("key"),
+                F.col("_fe_item.value").alias("value"),
+            )),
+        ).otherwise(F.col("_fe_item.value"))
+        # bind the loop variable into the vars map so every existing
+        # resolver ($.VAR via element_at) works unchanged in the body
+        binding = F.map_concat(
+            F.map_filter(
+                F.col(self._vars_col),
+                lambda k, _: ~k.startswith(key),
+            ),
+            F.map_from_arrays(
+                F.array(F.lit(key), F.lit(key + "!key"), F.lit(key + "!value")),
+                F.array(
+                    elem,
+                    F.coalesce(F.col("_fe_item.key"), F.lit("")),
+                    F.col("_fe_item.value"),
+                ),
+            ),
+        )
+        ex = ex.withColumn(self._vars_col, binding).drop("_fe_item")
+
+        # compile the body on the exploded plane with a sub-compiler
+        # sharing the action list + name counter
+        outer_df, outer_actions_len = self._df, len(self._actions)
+        self._df = ex
+        self._exec_block(st.body, F.lit(True), F.lit(False), calling)
+        body_df = self._df
+        # foreach-body actions carry the exploded frame
+        for a in self._actions[outer_actions_len:]:
+            if a.df is None:
+                a.df = body_df
+        self._df = outer_df
+        # loop var deleted after the loop (msgDelJSON ruleset.c:413):
+        # nothing to do — bindings only ever existed on the exploded
+        # plane, the row plane's vars were never touched

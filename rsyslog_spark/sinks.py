@@ -68,21 +68,31 @@ def fan_out(
     sink_specs = sink_specs or {}
     annotated = annotated.persist(StorageLevel.MEMORY_AND_DISK)
     try:
-        # one-pass exact per-sink counts
-        agg = annotated.agg(
-            *[
-                F.sum(F.col(a.pred_col).cast("long")).alias(f"{i}")
-                for i, a in enumerate(actions)
-            ]
-        ).first()
-        counts = {}
-        for i, a in enumerate(actions):
-            counts[a.sink] = counts.get(a.sink, 0) + int(agg[f"{i}"] or 0)
+        # one-pass exact per-sink counts (per plane: row-plane actions
+        # aggregate over `annotated`; foreach-body actions carry their
+        # own exploded frame — one aggregation pass per distinct plane)
+        counts: dict[str, int] = {}
+        planes: dict[int, tuple[DataFrame, list[CompiledAction]]] = {}
+        for a in actions:
+            src = a.df if a.df is not None else annotated
+            planes.setdefault(id(src), (src, []))[1].append(a)
+        for src, acts in planes.values():
+            agg = src.agg(
+                *[
+                    F.sum(F.col(a.pred_col).cast("long")).alias(f"{i}")
+                    for i, a in enumerate(acts)
+                ]
+            ).first()
+            for i, a in enumerate(acts):
+                counts[a.sink] = counts.get(a.sink, 0) + int(agg[f"{i}"] or 0)
 
         if write:
             for a in actions:
                 spec = sink_specs.get(a.sink, SinkSpec(a.sink))
-                out = annotated.filter(F.col(a.pred_col))
+                # render AFTER the filter (CompiledAction.output): only
+                # matching rows pay the template cost and the persisted
+                # annotated frame holds no rendered strings
+                out = a.output(annotated)
                 if a.out_col is not None:
                     cols = [F.col(a.out_col).alias("line")]
                     cols += [F.col(c) for c in (spec.partition_by or [])]

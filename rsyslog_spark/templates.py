@@ -123,11 +123,15 @@ def resolve_property(name: str) -> Column:
         return F.to_json(F.struct(*[F.col(c) for c in _JSONMESG_COLS]))
     if lname == "uuid":
         return F.expr("uuid()")
-    if name.startswith("$!"):
+    if name.startswith(("$!", "$.")):
+        # both the $! message tree and the $. local bag live in the one
+        # vars map (SURVEY §1.3) — rsyslog separates their lifetimes,
+        # but in a per-row dataflow both die with the row anyway
         return F.element_at(F.col("vars"), name[2:])
-    if name.startswith("$."):
-        return F.element_at(F.col("locals"), name[2:])
-    raise ValueError(f"unknown property {name!r}")
+    # not an rsyslog message property: treat as a raw column of the
+    # input table (the engine runs over arbitrary transcript schemas —
+    # Spark's analyzer reports unknown columns with suggestions)
+    return F.col(lname)
 
 
 _JSONMESG_COLS = [

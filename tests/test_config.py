@@ -59,9 +59,7 @@ class TestConfigText:
         builtin = parsed.filter("parse_success").select(
             compile_template("RSYSLOG_TraditionalFileFormat").alias("x")
         )
-        ours = ann.filter(F.col(arch.pred_col)).select(
-            F.col(arch.out_col).alias("x")
-        )
+        ours = arch.output(ann).select(F.col(arch.out_col).alias("x"))
         assert builtin.exceptAll(ours).count() == 0
 
     def test_prifilt_and_arrays_and_set(self, parsed):

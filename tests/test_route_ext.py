@@ -1,0 +1,255 @@
+"""foreach / call_indirect / queued call / config arithmetic+functions.
+
+Reference semantics mirrored here:
+- foreach over array & object (execForeach runtime/ruleset.c:392-418;
+  tests/json_array_looping.sh, json_object_looping.sh,
+  json_nonarray_looping.sh)
+- call_indirect (execCallIndirect ruleset.c:241-281): computed name,
+  unknown name = NOP
+- queued call (execCall MsgDup branch ruleset.c:283-302;
+  tests/omruleset-queue.sh): target sees a copy; its set/stop don't
+  affect the caller
+- config expression grammar parity (grammar.y:120-124 precedence,
+  rainerscript.c:3730-3763 function registry)
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from rsyslog_spark.config import compile_config
+from rsyslog_spark.route import (
+    Action,
+    Call,
+    CallIndirect,
+    Foreach,
+    RouteCompiler,
+    Ruleset,
+    Set,
+    Stop,
+)
+
+
+@pytest.fixture(scope="module")
+def df(spark):
+    return spark.createDataFrame(
+        [
+            (1, '{"a":"1","b":"x"}', "high", 2),
+            (2, '["p","q","r"]', "low", 5),
+            (3, "notjson", "nowhere", 7),
+            (4, '[{"baz":"im"},{"baz":"om"}]', "low", 1),
+        ],
+        "i int, payload string, cls string, sev int",
+    )
+
+
+def _rows(action, ann):
+    out = action.output(ann)
+    cols = ["i"] + ([action.out_col] if action.out_col else [])
+    return sorted(tuple(r[c] for c in cols) for r in out.select(*cols).collect())
+
+
+class TestForeach:
+    def test_array_and_object_auto(self, df):
+        rc = RouteCompiler().add(Ruleset("fe", [
+            Foreach("$.e", F.col("payload"), mode="auto", body=[
+                Action("pairs", F.concat(
+                    F.coalesce(F.element_at(F.col("vars"), "e!key"), F.lit("")),
+                    F.lit("="),
+                    F.element_at(F.col("vars"), "e!value"),
+                )),
+            ]),
+        ]))
+        ann, actions = rc.compile(df, "fe")
+        rows = _rows(actions[0], ann)
+        # object -> {key,value} pairs (callForeachObject), array -> one
+        # row per element; non-JSON rows iterate zero times
+        # (json_nonarray_looping.sh), array-of-objects elements are the
+        # nested JSON text (json_array_looping.sh 'quux: { "bar": ... }')
+        assert rows == [
+            (1, "a=1"), (1, "b=x"),
+            (2, "=p"), (2, "=q"), (2, "=r"),
+            (4, '={"baz":"im"}'), (4, '={"baz":"om"}'),
+        ]
+
+    def test_nested_foreach_through_binding(self, df):
+        # foreach over an object, then foreach over each value that is
+        # itself an array (the json_array_looping.sh nesting pattern)
+        nested = df.sparkSession.createDataFrame(
+            [(1, '{"foo":["u","v"],"bar":["w"]}')], "i int, payload string"
+        )
+        rc = RouteCompiler().add(Ruleset("fe", [
+            Foreach("$.q", F.col("payload"), mode="auto", body=[
+                Foreach("$.c", F.element_at(F.col("vars"), "q!value"),
+                        mode="auto", body=[
+                    Action("inner", F.concat(
+                        F.element_at(F.col("vars"), "q!key"),
+                        F.lit(":"),
+                        F.element_at(F.col("vars"), "c!value"),
+                    )),
+                ]),
+            ]),
+        ]))
+        ann, actions = rc.compile(nested, "fe")
+        rows = _rows(actions[0], ann)
+        assert rows == [(1, "bar:w"), (1, "foo:u"), (1, "foo:v")]
+
+    def test_config_text_foreach(self, df):
+        conf = """
+        template(name="kv" type="string" string="%$.e!key%=%$.e!value%")
+        ruleset(name="fe") {
+            foreach ($.e in $!doc) do {
+                action(type="omfile" file="/x/pairs.log" template="kv")
+            }
+        }
+        """
+        src = df.withColumn(
+            "vars",
+            F.create_map(F.lit("doc"), F.col("payload")),
+        )
+        ann, actions = compile_config(src, conf, entry="fe")
+        rows = _rows(actions[0], ann)
+        assert (1, "a=1") in rows and (2, "=p") in rows
+        assert all(r[0] != 3 for r in rows)
+
+
+class TestCallForms:
+    def test_call_indirect_with_nop(self, df):
+        rc = RouteCompiler()
+        rc.add(Ruleset("high", [Action("hi"), Stop()]))
+        rc.add(Ruleset("low", [Action("lo")]))
+        rc.add(Ruleset("main", [
+            CallIndirect(F.col("cls")),
+            Action("after"),
+        ]))
+        ann, actions = rc.compile(df, "main")
+        by = {a.sink: a for a in actions}
+        assert _rows(by["hi"], ann) == [(1,)]
+        assert _rows(by["lo"], ann) == [(2,), (4,)]
+        # 'nowhere' is a NOP (ruleset.c:258-262); stop in 'high'
+        # propagates (inline direct-call semantics)
+        assert _rows(by["after"], ann) == [(2,), (3,), (4,)]
+
+    def test_queued_call_isolation(self, df):
+        rc = RouteCompiler()
+        rc.queued = {"audit"}
+        rc.add(Ruleset("audit", [
+            Set("$!t", F.lit("Q"), force_reset=True),
+            Action("aud", F.element_at(F.col("vars"), "t")),
+            Stop(),
+        ]))
+        rc.add(Ruleset("main", [
+            Set("$!t", F.lit("pre"), force_reset=True),
+            Call("audit", queued=True),
+            Action("after", F.element_at(F.col("vars"), "t")),
+        ]))
+        ann, actions = rc.compile(df, "main")
+        by = {a.sink: a for a in actions}
+        # queued target saw its own set
+        assert all(r[1] == "Q" for r in _rows(by["aud"], ann))
+        # caller unaffected by target's set AND stop (MsgDup copy)
+        after = _rows(by["after"], ann)
+        assert len(after) == 4 and all(r[1] == "pre" for r in after)
+
+    def test_config_text_queued_and_indirect(self, df):
+        conf = """
+        ruleset(name="sev0" queue.type="linkedlist") {
+            set $!t = "queued";
+            action(type="omfile" file="/x/hi.log")
+            stop
+        }
+        ruleset(name="route") {
+            set $!t = "pre";
+            call_indirect "sev" & cstr($syslogseverity / 4);
+            action(type="omfile" file="/x/rest.log")
+        }
+        """
+        src = df.withColumn("syslogseverity", F.col("sev")).withColumn(
+            "syslogfacility", F.lit(1)
+        )
+        ann, actions = compile_config(src, conf, entry="route")
+        by = {a.sink: a for a in actions}
+        # sev/4 == 0 -> 'sev0' (rows 1,4); 'sev1' undefined -> NOP
+        assert _rows(by["hi"], ann) == [(1,), (4,)]
+        # queued: stop did not stop the caller; set didn't leak
+        assert _rows(by["rest"], ann) == [(1,), (2,), (3,), (4,)]
+        t = ann.select(F.element_at("vars", "t").alias("t")).distinct().collect()
+        assert {r["t"] for r in t} == {"pre"}
+
+
+class TestConfigExpressions:
+    def test_arithmetic_precedence_and_div0(self, df):
+        conf = """
+        ruleset(name="c") {
+            set $.a = 2 + 3 * 4;
+            set $.b = (2 + 3) * 4;
+            set $.c = 7 / 0;
+            set $.d = 7 % 0;
+            set $.e = -$syslogseverity + 10;
+            set $.f = 10 - 2 - 3;
+        }
+        """
+        src = df.withColumn("syslogseverity", F.col("sev"))
+        ann, _ = compile_config(src, conf, entry="c")
+        r = ann.filter(F.col("i") == 1).select("vars").first()["vars"]
+        assert r["a"] == "14" and r["b"] == "20"
+        assert r["c"] == "0" and r["d"] == "0"  # div-0 -> 0
+        assert r["e"] == "8" and r["f"] == "5"  # left-assoc
+
+    def test_functions_in_config(self, df):
+        from rsyslog_spark.lookup import LookupTable
+
+        lt = LookupTable("cls", "string", {"high": "H", "low": "L"},
+                         nomatch="?")
+        conf = """
+        ruleset(name="c") {
+            set $.len = strlen($cls);
+            set $.fld = field($payload, 44, 2);
+            set $.hex = int2hex(255);
+            set $.lk = lookup("cls", $cls);
+            set $.w = wrap(tolower("ABC"), "\\"");
+            set $.sub = substring($cls, 0, 2);
+        }
+        """
+        ann, _ = compile_config(df, conf, entry="c",
+                                lookups={"cls": lt})
+        r = ann.filter(F.col("i") == 2).select("vars").first()["vars"]
+        assert r["len"] == "3"
+        assert r["fld"] == '"q"'  # ["p","q","r"] split on ',' field 2
+        assert r["hex"] == "ff"
+        assert r["lk"] == "L"
+        assert r["w"] == '"abc"'
+        assert r["sub"] == "lo"
+
+    def test_script_error_and_parse_json(self, df):
+        conf = """
+        ruleset(name="c") {
+            set $.ok = parse_json($payload, "$!doc");
+            set $.e1 = script_error();
+            set $.a = get_property($!doc, "a");
+            set $.e2 = script_error();
+            set $.pt = parse_time($payload);
+            set $.e3 = script_error();
+        }
+        """
+        ann, _ = compile_config(df, conf, entry="c")
+        rows = {
+            r["i"]: r["vars"]
+            for r in ann.select("i", "vars").collect()
+        }
+        # row 1: object parses, key a present
+        assert rows[1]["e1"] == "0" and rows[1]["a"] == "1"
+        assert rows[1]["e2"] == "0"
+        # row 3: not JSON -> parse_json EINVAL; get_property misses
+        assert rows[3]["e1"] == "1" and rows[3]["a"] == ""
+        assert rows[3]["e2"] == "1"
+        # parse_time on non-time strings: 0 + EINVAL for everyone
+        assert all(v["pt"] == "0" and v["e3"] == "1" for v in rows.values())
+
+    def test_not_binds_tightest(self, df):
+        # grammar.y %nonassoc NOT at the TOP precedence level:
+        # `not 0 == 1` is (not 0) == 1 -> 1 == 1 -> true
+        conf = 'ruleset(name="c") { if not 0 == 1 then { action(type="omfile" file="/x/t.log") } }'
+        ann, actions = compile_config(df, conf, entry="c")
+        assert len(_rows(actions[0], ann)) == 4
