@@ -509,6 +509,76 @@ def q_config_text_calc(spark, sf_dir):
     )
 
 
+def q_pm_lastmsg(spark, sf_dir):
+    """pmlastmsg on top of the parser stack (plugins/pmlastmsg/
+    pmlastmsg.c:90-130; tests/pmlastmsg.sh): 'last message repeated N
+    times' rows take MSG = whole after-PRI text, TAG '', legacy
+    protocol, TS = received time."""
+    i = F.col("i")
+    t = _transcripts(spark, sf_dir).withColumn(
+        "text",
+        F.when(
+            i % 50 == 0,
+            F.concat(
+                F.lit("<"),
+                ((i % 24) * 8 + i % 8).cast("string"),
+                F.lit(">last message repeated "),
+                (i % 9).cast("string"),
+                F.lit(" times"),
+            ),
+        ).otherwise(F.col("text")),
+    )
+    p = with_parsed(
+        t, require_header=True,
+        parsers=("lastmsg", "rfc5424", "rfc3164"),
+    )
+    return p.filter(F.col("parser") == "lastmsg").select(
+        "i", "msg", "syslogtag", "protocol_version", "hostname"
+    )
+
+
+def q_dyn_inc_reset(spark, sf_dir):
+    """dynstats resettable bucket (dynstats.c:36-38,489 CTR_FLAG_MUST_
+    RESET; tests/dynstats_reset.sh): counters zero at each emission
+    interval — per-window counts."""
+    return A.dyn_inc_windowed(
+        _transcripts(spark, sf_dir), "roles", "role",
+        ts_col="ts", interval_s=600, resettable=True,
+    )
+
+
+def q_dyn_inc_ttl(spark, sf_dir):
+    """dynstats unusedMetricLife TTL purge (dynstats.c:249-264): bursty
+    activity with silence gaps > TTL restarts the cumulative counter
+    ('ttl'); a no-TTL bucket accumulates forever ('cum')."""
+    t = _transcripts(spark, sf_dir).filter((F.col("i") % 3000) < 600)
+    a = A.dyn_inc_windowed(t, "ttl", "role", ts_col="ts", interval_s=600,
+                           resettable=False, unused_metric_life_s=1200)
+    b = A.dyn_inc_windowed(t, "cum", "role", ts_col="ts", interval_s=600,
+                           resettable=False)
+    return a.unionByName(b)
+
+
+def q_parse_uncompress(spark, sf_dir):
+    """zlib uncompress front door (uncompressMessage, runtime/
+    parser.c:312-362): round-trip — a third of the rows ship as
+    'z'+zlib(text) binary records (tcpflood -C wire format), corrupted
+    records are DROPPED ('Message ignored', parser.c:349-354), and the
+    parse results must be byte-identical to the uncompressed path."""
+    from rsyslog_spark.parse.uncompress import (
+        compress_records,
+        with_uncompressed,
+    )
+
+    t = _transcripts(spark, sf_dir)
+    wire = compress_records(
+        t, select_expr="i % 3 = 0", corrupt_expr="i % 97 = 0"
+    )
+    restored = with_uncompressed(wire, raw_col="raw", out_col="text")
+    p = with_parsed(restored, require_header=True)
+    return p.select("i", "parser", "msg")
+
+
 # --- training-data ops (rsyslog_spark.dataops) -----------------------------
 
 
@@ -685,6 +755,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "foreach_vars": q_foreach_vars,
         "call_indirect": q_call_indirect,
         "config_text_calc": q_config_text_calc,
+        "pm_lastmsg": q_pm_lastmsg,
+        "dyn_inc_reset": q_dyn_inc_reset,
+        "dyn_inc_ttl": q_dyn_inc_ttl,
+        "parse_uncompress": q_parse_uncompress,
         "template_options": q_template_options,
         "rs_functions2": q_rs_functions2,
         "mm_anon": q_mm_anon,
@@ -934,6 +1008,39 @@ def oracle_sql() -> dict[str, str]:
         f"CAST(({_sev} * 8 + {_fac}) % 100 AS VARCHAR) || '-' || "
         f"CAST({_sev} AS VARCHAR) AS sum_s "
         "FROM p WHERE parse_success"
+    )
+    o["pm_lastmsg"] = (
+        "SELECT event_id AS i, "
+        "'last message repeated ' || CAST(event_id % 9 AS VARCHAR) || "
+        "' times' AS msg, '' AS syslogtag, "
+        "CAST(0 AS INT) AS protocol_version, '' AS hostname "
+        "FROM events WHERE event_id % 50 = 0"
+    )
+    _W600 = "CAST(floor(epoch(ts) / 600) AS BIGINT)"
+    o["dyn_inc_reset"] = with_parsed_oracle(
+        f"SELECT 'roles' AS name, role AS key, "
+        f"make_timestamp({_W600} * 600 * 1000000) AS window_start, "
+        f"count(*) AS count FROM t0 GROUP BY role, {_W600}"
+    )
+    o["dyn_inc_ttl"] = with_parsed_oracle(
+        f", base AS (SELECT role AS key, {_W600} AS w, "
+        "count(*) AS n FROM t0 WHERE i % 3000 < 600 GROUP BY 1, 2), "
+        "gaps AS (SELECT key, w, n, CASE WHEN w - lag(w) OVER "
+        "(PARTITION BY key ORDER BY w) > 2 THEN 1 ELSE 0 END AS g "
+        "FROM base), "
+        "seg AS (SELECT key, w, n, sum(g) OVER "
+        "(PARTITION BY key ORDER BY w) AS s FROM gaps) "
+        "SELECT 'ttl' AS name, key, "
+        "make_timestamp(w * 600 * 1000000) AS window_start, "
+        "CAST(sum(n) OVER (PARTITION BY key, s ORDER BY w) AS BIGINT) "
+        "AS count FROM seg "
+        "UNION ALL SELECT 'cum', key, "
+        "make_timestamp(w * 600 * 1000000), "
+        "CAST(sum(n) OVER (PARTITION BY key ORDER BY w) AS BIGINT) "
+        "FROM base"
+    )
+    o["parse_uncompress"] = with_parsed_oracle(
+        "SELECT i, parser, msg FROM p WHERE i % 97 <> 0"
     )
     _JESC = (
         "replace(replace(replace(replace(replace({x}, '\\', '\\\\'), "

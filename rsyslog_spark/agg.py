@@ -46,6 +46,71 @@ def dyn_inc(
     return counts
 
 
+def dyn_inc_windowed(
+    df: DataFrame,
+    bucket: str,
+    key,
+    ts_col: str = "ts",
+    interval_s: int = 600,
+    resettable: bool = True,
+    unused_metric_life_s: int | None = None,
+) -> DataFrame:
+    """dynstats emission cycles: resettable + unusedMetricLife TTL
+    (runtime/dynstats.c:36-43,249-264,489; tests/dynstats_reset.sh).
+
+    The reference emits bucket counters every stats interval;
+    ``resettable=on`` (the default, DYNSTATS_DEFAULT_RESETTABILITY)
+    zeroes each counter at emission (CTR_FLAG_MUST_RESET,
+    dynstats.c:489), and a metric unused for ``unusedMetricLife``
+    seconds is purged — a later increment starts a FRESH counter from 0
+    (the ttl-survivor table, dynstats.c:249-264).
+
+    Batch analog over event time: emission interval = tumbling window on
+    ``ts_col``. Returns (name, key, window_start, count) where count is
+    per-window when resettable, else the cumulative count since the
+    key's last TTL purge (a gap > unusedMetricLife between active
+    windows restarts the sequence — exactly the purge-then-recreate
+    lifecycle). Emissions appear for a key's ACTIVE windows (a batch
+    engine has no timer to emit zeros for silent ones; documented).
+
+    Scale shape: one hash shuffle on (key, window) + at most one window
+    function over (key) — no driver state, no collect.
+    """
+    kcol = F.col(key) if isinstance(key, str) else key
+    win = (F.unix_timestamp(F.col(ts_col)) / interval_s).cast("long")
+    base = (
+        df.select(kcol.alias("key"), win.alias("_w"))
+        .groupBy("key", "_w")
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    if resettable:
+        out = base.select(
+            F.lit(bucket).alias("name"),
+            "key",
+            (F.col("_w") * interval_s).cast("timestamp").alias("window_start"),
+            F.col("_n").alias("count"),
+        )
+        return out
+    w = Window.partitionBy("key").orderBy("_w")
+    if unused_metric_life_s is not None:
+        gap_w = unused_metric_life_s // interval_s
+        purged = (
+            F.col("_w") - F.lag("_w").over(w) > F.lit(gap_w)
+        ).cast("int")
+        seg = F.sum(F.coalesce(purged, F.lit(0))).over(w)
+        base = base.withColumn("_seg", seg)
+        w = Window.partitionBy("key", "_seg").orderBy("_w")
+    cum = F.sum("_n").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return base.select(
+        F.lit(bucket).alias("name"),
+        "key",
+        (F.col("_w") * interval_s).cast("timestamp").alias("window_start"),
+        cum.alias("count"),
+    )
+
+
 def mm_count(df: DataFrame, app_col: str = "programname", key_col: str = "syslogseverity") -> DataFrame:
     """mmcount (contrib/mmcount/mmcount.c): messages per app per key."""
     return df.groupBy(app_col, key_col).count()

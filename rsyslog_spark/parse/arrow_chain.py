@@ -167,8 +167,14 @@ def parse_chain_arrow(
     fromhost: pa.Array,
     has_pri: pa.Array,
     require_header: bool = False,
+    with_lastmsg: bool = False,
 ) -> dict[str, pa.Array]:
-    """Full chain over arrow arrays; returns the PARSED_STRUCT columns."""
+    """Full chain over arrow arrays; returns the PARSED_STRUCT columns.
+
+    ``with_lastmsg`` puts pmlastmsg on top of the parser stack
+    (plugins/pmlastmsg/pmlastmsg.c:90-130 — 'should be placed on top'):
+    rows matching 'last message repeated N times' take MSG = the whole
+    after-PRI text, TAG '', TS = received time, legacy protocol."""
     s = _fill(after_pri.cast(pa.string()))
     fromhost = _fill(fromhost.cast(pa.string()))
     has_pri = pc.fill_null(has_pri.cast(pa.bool_()), False)
@@ -281,31 +287,48 @@ def parse_chain_arrow(
         acc3164_pa = pa.array(np.ones(n, dtype=bool))
 
     # ---- merge chain results (parser.c:654-687) -----------------------
-    own5 = use5
-    own3164 = pc.and_(pc.invert(own5), acc3164_pa)
-    failed = pc.and_(pc.invert(own5), pc.invert(acc3164_pa))
+    if with_lastmsg:
+        ownL = pc.match_substring_regex(
+            s, r"(?i)^ *last message repeated \d+ times$"
+        )
+    else:
+        ownL = pa.array(np.zeros(n, dtype=bool))
+    notL = pc.invert(ownL)
+    own5 = pc.and_(notL, use5)
+    own3164 = pc.and_(pc.and_(notL, pc.invert(own5)), acc3164_pa)
+    failed = pc.and_(
+        pc.and_(notL, pc.invert(own5)), pc.invert(acc3164_pa)
+    )
 
     def merge_str(v5, v3, vfail):
         return pc.if_else(own5, v5, pc.if_else(own3164, v3, vfail))
 
+    empty_str = pa.scalar("", pa.string())
     hostname = merge_str(host5, host3164, fromhost)
-    syslogtag = merge_str(tag5, tag3164, null_str)
+    syslogtag = pc.if_else(
+        ownL, empty_str, merge_str(tag5, tag3164, null_str)
+    )
     app_name = pc.if_else(own5, app5, null_str)
     # 3164 has no PROCID header field -> null at chain level; the legacy
     # TAG-based emulation (msg.c:1495-1542) runs natively after the chain
     procid = pc.if_else(own5, procid5, null_str)
     msgid = pc.if_else(own5, msgid5, null_str)
     sd = pc.if_else(own5, sd5, null_str)
-    msg = merge_str(msg5, msg3164, s)
-    ts_text = merge_str(ts5_txt, ts_txt3164, null_str)
+    msg = pc.if_else(ownL, s, merge_str(msg5, msg3164, s))
+    ts_text = pc.if_else(
+        ownL, null_str, merge_str(ts5_txt, ts_txt3164, null_str)
+    )
     own5_np = own5.to_numpy(zero_copy_only=False)
     own3164_np = own3164.to_numpy(zero_copy_only=False)
     timereported = np.where(own5_np, ts5_us,
                             np.where(own3164_np, ts3164_us, recv_us))
     parser = pc.if_else(
-        own5, pa.scalar("rfc5424", pa.string()),
-        pc.if_else(own3164, pa.scalar("rfc3164", pa.string()),
-                   pa.scalar("none", pa.string())),
+        ownL, pa.scalar("lastmsg", pa.string()),
+        pc.if_else(
+            own5, pa.scalar("rfc5424", pa.string()),
+            pc.if_else(own3164, pa.scalar("rfc3164", pa.string()),
+                       pa.scalar("none", pa.string())),
+        ),
     )
     parse_success = pc.invert(failed)
     protocol_version = pc.if_else(

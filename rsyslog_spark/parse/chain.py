@@ -53,6 +53,34 @@ def parse_chain_pd(
         if not remaining.any():
             break
         sel = remaining[remaining].index
+        if p == "lastmsg":
+            # pmlastmsg (plugins/pmlastmsg/pmlastmsg.c:90-130): after
+            # optional leading spaces, EXACTLY "last message repeated
+            # <digits> times" (case-insensitive); on accept: legacy
+            # protocol, TS = received time, MSG = whole after-PRI text
+            # (MsgSetMSGoffs(offAfterPRI) — spaces NOT stripped), TAG ''
+            s = after_pri[sel].fillna("")
+            acc = s.str.match(
+                r"^ *last message repeated \d+ times$", case=False
+            )
+            took = sel[acc.values]
+            if not len(took):
+                continue
+            r = pd.DataFrame(index=took)
+            r["protocol_version"] = 0
+            r["timestamp_text"] = None
+            r["hostname"] = fromhost[took]
+            r["syslogtag"] = ""
+            r["app_name"] = None
+            r["procid"] = None
+            r["msgid"] = None
+            r["structured_data"] = None
+            r["msg"] = after_pri[took]
+            r["timereported"] = recv_ts[took]
+            parser_name[took] = p
+            parts.append(r)
+            remaining[took] = False
+            continue
         if p == "rfc5424":
             # the version guard ("1 " prefix, pmrfc5424.c:224-226) is the
             # accept decision — prefilter so the parser only materializes
@@ -210,8 +238,13 @@ def with_parsed(
         "timereported": "timestamp_us",
     }
 
-    if engine == "arrow" and tuple(parsers) != ("rfc5424", "rfc3164"):
-        engine = "pandas"  # arrow fast path implements the default chain
+    _ARROW_CHAINS = {
+        ("rfc5424", "rfc3164"): False,
+        ("lastmsg", "rfc5424", "rfc3164"): True,
+    }
+    if engine == "arrow" and tuple(parsers) not in _ARROW_CHAINS:
+        engine = "pandas"  # arrow fast path implements the stock chains
+    with_lastmsg = _ARROW_CHAINS.get(tuple(parsers), False)
 
     def _run(batches):
         import pyarrow as pa
@@ -236,6 +269,7 @@ def with_parsed(
                     col["_fromhost"],
                     col["_has_pri"],
                     require_header=require_header,
+                    with_lastmsg=with_lastmsg,
                 )
                 arrays += [out_a[f] for f in _FIELDS]
                 yield pa.RecordBatch.from_arrays(

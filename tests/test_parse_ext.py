@@ -1,0 +1,114 @@
+"""zlib uncompress front door, pmlastmsg chain branch, dynstats cycles.
+
+- uncompressMessage (runtime/parser.c:312-362): 'z'-prefixed records
+  inflate; failures drop the message; oversize rejected (DoS guard)
+- pmlastmsg (plugins/pmlastmsg/pmlastmsg.c:90-130): top-of-stack parser
+- dynstats resettable/TTL (runtime/dynstats.c:36-43,249-264,489)
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from rsyslog_spark.agg import dyn_inc_windowed
+from rsyslog_spark.parse import with_parsed
+from rsyslog_spark.parse.uncompress import with_uncompressed
+
+
+@pytest.fixture(scope="module")
+def wire(spark):
+    rows = [
+        (1, b"<13>plain message one"),
+        (2, b"z" + zlib.compress(b"<13>was compressed")),
+        (3, b"z\x00garbage-not-zlib"),          # drop path
+        (4, b"z" + zlib.compress(b"A" * 100000)),  # oversize -> drop
+    ]
+    return spark.createDataFrame(rows, "i int, raw binary")
+
+
+class TestUncompress:
+    def test_roundtrip_drop_and_bound(self, wire):
+        out = with_uncompressed(wire, raw_col="raw", out_col="text",
+                                max_len=8192)
+        rows = {r["i"]: r["text"] for r in out.collect()}
+        assert rows == {
+            1: "<13>plain message one",
+            2: "<13>was compressed",
+        }
+
+    def test_feeds_parse_chain(self, wire, spark):
+        src = with_uncompressed(wire, raw_col="raw", out_col="text")
+        src = src.withColumn("ts", F.lit("2024-01-05 10:00:00").cast("timestamp"))
+        p = with_parsed(src)
+        got = {r["i"]: (r["rawmsg"], r["pri"]) for r in p.collect()}
+        # inflated bytes feed sanitize/PRI exactly like plain ones
+        assert got[2] == ("<13>was compressed", 13)
+        assert set(got) == {1, 2}
+
+
+class TestPmLastMsg:
+    def test_chain_branch_both_engines(self, spark):
+        rows = [
+            (1, "<13>last message repeated 5 times"),
+            (2, "<13>  LAST Message Repeated 12 TIMES"),  # ci + spaces
+            (3, "<13>last message repeated 5 times and more"),  # no accept
+            (4, "<13>Jan  5 10:00:00 host app[1]: normal"),
+        ]
+        df = spark.createDataFrame(rows, "i int, text string").withColumn(
+            "ts", F.lit("2024-01-05 10:00:00").cast("timestamp")
+        )
+        for engine in ("arrow", "pandas"):
+            p = with_parsed(
+                df, parsers=("lastmsg", "rfc5424", "rfc3164"),
+                engine=engine,
+            )
+            got = {r["i"]: (r["parser"], r["msg"], r["syslogtag"])
+                   for r in p.collect()}
+            assert got[1] == ("lastmsg", "last message repeated 5 times", "")
+            assert got[2][0] == "lastmsg"
+            assert got[2][1] == "  LAST Message Repeated 12 TIMES"
+            assert got[3][0] == "rfc3164"  # trailing text -> not ours
+            assert got[4][0] == "rfc3164"
+
+
+class TestDynstatsCycles:
+    @pytest.fixture(scope="class")
+    def events(self, spark):
+        # key 'a': bursts at t=0..2 and t=4000..4002 (gap > TTL);
+        # key 'b': steady every 500 s
+        rows = [("a", t) for t in (0, 1, 2, 4000, 4001, 4002)]
+        rows += [("b", t) for t in range(0, 4500, 500)]
+        return spark.createDataFrame(rows, "k string, sec long").withColumn(
+            "ts", F.col("sec").cast("timestamp")
+        )
+
+    def test_resettable_per_window(self, events):
+        out = dyn_inc_windowed(events, "x", "k", interval_s=600,
+                               resettable=True)
+        got = {(r["key"], r["window_start"].timestamp()): r["count"]
+               for r in out.collect()}
+        assert got[("a", 0.0)] == 3 and got[("a", 3600.0)] == 3
+        assert got[("b", 0.0)] == 2  # t=0,500
+
+    def test_ttl_purge_restarts_counter(self, events):
+        out = dyn_inc_windowed(events, "x", "k", interval_s=600,
+                               resettable=False,
+                               unused_metric_life_s=1200)
+        a = {r["window_start"].timestamp(): r["count"]
+             for r in out.filter("key = 'a'").collect()}
+        # gap 0 -> 3600 s is 6 windows > TTL(2 windows): purged, fresh 3
+        assert a == {0.0: 3, 3600.0: 3}
+        b = {r["window_start"].timestamp(): r["count"]
+             for r in out.filter("key = 'b'").collect()}
+        # 'b' never idle > TTL: cumulative counts keep growing
+        assert b[0.0] == 2 and b[3600.0] == 9 and max(b.values()) == 9
+
+    def test_no_ttl_accumulates(self, events):
+        out = dyn_inc_windowed(events, "x", "k", interval_s=600,
+                               resettable=False)
+        a = {r["window_start"].timestamp(): r["count"]
+             for r in out.filter("key = 'a'").collect()}
+        assert a == {0.0: 3, 3600.0: 6}  # no purge: keeps counting
