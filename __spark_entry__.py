@@ -618,10 +618,19 @@ def q_dedup_minhash_pairs(spark, sf_dir):
 
 
 def q_ngram_jaccard(spark, sf_dir):
-    from rsyslog_spark.dataops.dedup import jaccard_pairs, shingles
+    """Exact 2-gram Jaccard over MANDATORY minhash candidates (the r01
+    unfiltered shingle self-join was the non-scale shape; the candidate
+    semi-join is the one that survives 10^9 docs)."""
+    from rsyslog_spark.dataops.dedup import (
+        jaccard_pairs,
+        minhash_candidate_pairs,
+        minhash_signatures,
+        shingles,
+    )
 
-    sh = shingles(_docs(spark, sf_dir))
-    return jaccard_pairs(sh, threshold=0.05)
+    sh = shingles(_docs(spark, sf_dir), k=2).persist()
+    cand = minhash_candidate_pairs(minhash_signatures(sh))
+    return jaccard_pairs(sh, pairs=cand, threshold=0.05)
 
 
 def q_dedup_simhash(spark, sf_dir):
@@ -648,9 +657,14 @@ def q_embedding_topk(spark, sf_dir):
 
 
 def q_embedding_neardup(spark, sf_dir):
-    from rsyslog_spark.dataops.similarity import neardup_pairs
+    """Near-dup through seeded Rademacher sign-LSH buckets + exact
+    cosine verify (replaces the r01 all-pairs join — that shape is now
+    test-only). 16 tables x 8 bits: candidate volume ~16/256 of the
+    pair space; measured recall vs brute force reported in PERF.md."""
+    from rsyslog_spark.dataops.similarity import neardup_lsh
 
-    return neardup_pairs(_embs(spark, sf_dir), threshold=0.4)
+    return neardup_lsh(_embs(spark, sf_dir), threshold=0.4,
+                       n_tables=16, n_bits=8)
 
 
 def q_embedding_lsh_topk(spark, sf_dir):
@@ -1113,13 +1127,26 @@ def oracle_sql() -> dict[str, str]:
         "sh AS (SELECT DISTINCT id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] "
         "AS sh FROM toks, unnest(generate_series(1, len(w) - 2)) AS t(i))"
     )
+    # minhash lanes = 8-hex slices of md5(sh) and md5('x:'||sh) — the
+    # single-digest scheme (2 md5/shingle), mirrored from dedup.py
+    _LANES = (
+        "lanes AS (SELECT id, "
+        "min(substr(md5(sh), 1, 8)) AS l0, "
+        "min(substr(md5(sh), 9, 8)) AS l1, "
+        "min(substr(md5(sh), 17, 8)) AS l2, "
+        "min(substr(md5(sh), 25, 8)) AS l3, "
+        "min(substr(md5('x:' || sh), 1, 8)) AS l4, "
+        "min(substr(md5('x:' || sh), 9, 8)) AS l5, "
+        "min(substr(md5('x:' || sh), 17, 8)) AS l6, "
+        "min(substr(md5('x:' || sh), 25, 8)) AS l7 "
+        "FROM sh GROUP BY id)"
+    )
     _SIGS = (
-        "sigs AS (SELECT id, CAST(j // 2 AS INT) AS band, "
-        "min(CASE WHEN j % 2 = 0 THEN h END) || "
-        "min(CASE WHEN j % 2 = 1 THEN h END) AS sig FROM "
-        "(SELECT id, j, min(md5(CAST(j AS VARCHAR) || ':' || sh)) AS h "
-        "FROM sh, unnest(generate_series(0, 7)) AS jj(j) "
-        "GROUP BY id, j) GROUP BY id, j // 2)"
+        _LANES + ", "
+        "sigs AS (SELECT id, CAST(b AS INT) AS band, "
+        "CASE b WHEN 0 THEN l0 || l1 WHEN 1 THEN l2 || l3 "
+        "WHEN 2 THEN l4 || l5 ELSE l6 || l7 END AS sig "
+        "FROM lanes, unnest(generate_series(0, 3)) AS bb(b))"
     )
     _CAND = (
         "cand AS (SELECT DISTINCT l.id AS a, r.id AS b FROM sigs l "
@@ -1149,9 +1176,16 @@ def oracle_sql() -> dict[str, str]:
         f"WITH {_SH}, {_SIGS}, {_CAND}, {_SIZES}, {_CO}, {_JAC} "
         "SELECT jac.* FROM jac JOIN cand ON jac.a = cand.a AND jac.b = cand.b"
     )
+    _SH2 = (
+        "toks AS (SELECT doc_id AS id, string_split(text, ' ') AS w "
+        "FROM documents), "
+        "sh AS (SELECT DISTINCT id, w[i] || ' ' || w[i+1] "
+        "AS sh FROM toks, unnest(generate_series(1, len(w) - 1)) AS t(i))"
+    )
     o["ngram_jaccard"] = (
-        f"WITH {_SH}, {_SIZES}, {_CO}, {_JAC} "
-        "SELECT * FROM jac WHERE jac >= 0.05"
+        f"WITH {_SH2}, {_SIGS}, {_CAND}, {_SIZES}, {_CO}, {_JAC} "
+        "SELECT jac.* FROM jac JOIN cand ON jac.a = cand.a "
+        "AND jac.b = cand.b WHERE jac.jac >= 0.05"
     )
     _BITS = (
         "bits AS (SELECT id, k, sum(2 * (((instr('0123456789abcdef', "
@@ -1192,21 +1226,58 @@ def oracle_sql() -> dict[str, str]:
         "FROM n q JOIN n c ON q.vec_id <> c.vec_id WHERE q.vec_id < 10) "
         "WHERE rank <= 5"
     )
+    # Rademacher hyperplane CTEs (mirror similarity.rademacher_plane:
+    # bit d of md5('h<t>:<j>') via the simhash nibble convention;
+    # projection over x1000-quantized integer vectors = EXACT int math,
+    # so buckets are byte-identical across engines)
+    _QV = (
+        "qv AS (SELECT vec_id, list_transform(v, x -> "
+        "CAST(floor(x * 1000 + 0.5) AS BIGINT)) AS q FROM e)"
+    )
+
+    def _hyper(name, n_tables, n_bits):
+        return (
+            f"{name} AS (SELECT t, j, d, "
+            "(((instr('0123456789abcdef', substr(md5('h' || "
+            "CAST(t AS VARCHAR) || ':' || CAST(j AS VARCHAR)), "
+            "(d // 4) + 1, 1)) - 1) >> (3 - (d % 4))) & 1) * 2 - 1 AS w "
+            f"FROM generate_series(0, {n_tables - 1}) AS tt(t), "
+            f"generate_series(0, {n_bits - 1}) AS jj(j), "
+            "generate_series(0, 63) AS dd(d))"
+        )
+
+    _BITS = (
+        "bits AS (SELECT qv.vec_id, h.t, h.j, CASE WHEN "
+        "sum(qv.q[h.d + 1] * h.w) >= 0 THEN 1 ELSE 0 END AS bit "
+        "FROM qv CROSS JOIN hyper h GROUP BY qv.vec_id, h.t, h.j)"
+    )
+    # integer bucket id = Σ bit << (n_bits-1-j), mirroring the numpy
+    # packing in similarity.lsh_bucket_table
+    _BKT_INT = (
+        _BITS + ", bkt AS (SELECT vec_id, t, "
+        "CAST(sum(bit * (1 << (7 - j))) AS BIGINT) AS bucket "
+        "FROM bits GROUP BY vec_id, t)"
+    )
+    _BKT_STR = (
+        _BITS + ", bkt AS (SELECT vec_id, t, string_agg("
+        "CAST(bit AS VARCHAR), '' ORDER BY j) AS bucket "
+        "FROM bits GROUP BY vec_id, t)"
+    )
     o["embedding_neardup"] = (
-        f"WITH {_E} SELECT a, b, cos FROM ("
-        "SELECT x.vec_id AS a, y.vec_id AS b, "
-        "round(list_dot_product(x.v, y.v) / (x.nrm * y.nrm), 4) AS cos "
-        "FROM n x JOIN n y ON x.vec_id < y.vec_id) WHERE cos >= 0.4"
+        f"WITH {_E}, {_QV}, {_hyper('hyper', 16, 8)}, {_BKT_INT}, "
+        "cand AS (SELECT DISTINCT x.vec_id AS a, y.vec_id AS b "
+        "FROM bkt x JOIN bkt y ON x.t = y.t AND x.bucket = y.bucket "
+        "AND x.vec_id < y.vec_id) "
+        "SELECT a, b, cos FROM ("
+        "SELECT cand.a, cand.b, round(list_dot_product(na.v, nb.v) / "
+        "(na.nrm * nb.nrm), 4) AS cos FROM cand "
+        "JOIN n na ON cand.a = na.vec_id "
+        "JOIN n nb ON cand.b = nb.vec_id) WHERE cos >= 0.4"
     )
-    _BUCKET_BIT = (
-        "(CASE WHEN list_sum(list_transform(generate_series(1, 64), "
-        "i -> CASE WHEN (i - 1) % 6 = {j} THEN v[i] ELSE 0.0 END)) >= 0 "
-        "THEN '1' ELSE '0' END)"
-    )
-    _bucket = " || ".join(_BUCKET_BIT.format(j=j) for j in range(6))
     o["embedding_lsh_topk"] = (
-        f"WITH {_E}, nb AS (SELECT vec_id, v, nrm, {_bucket} AS bucket "
-        "FROM n) "
+        f"WITH {_E}, {_QV}, {_hyper('hyper', 1, 6)}, {_BKT_STR}, "
+        "nb AS (SELECT n.vec_id, n.v, n.nrm, bkt.bucket FROM n "
+        "JOIN bkt ON n.vec_id = bkt.vec_id) "
         "SELECT qid, nid, cos, rank FROM ("
         "SELECT q.vec_id AS qid, c.vec_id AS nid, "
         "round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 4) AS cos, "

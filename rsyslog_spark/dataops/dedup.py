@@ -74,7 +74,16 @@ def minhash_signatures(
     sh: DataFrame, num_hashes: int = 8, rows_per_band: int = 2
 ) -> DataFrame:
     """(id, band, sig): banded min-hash signatures, b = num_hashes / r
-    bands of r concatenated min-hashes (hash j = min md5("j:"+shingle)).
+    bands of r concatenated min-hash lanes.
+
+    Hash lanes are 8-hex-char (32-bit) SLICES of md5 digests: lanes 0-3
+    come from md5(shingle), lanes 4-7 from md5('x:'+shingle) — 2 md5
+    evaluations per shingle instead of 8 (r01 cost: 8 md5 + an 8x row
+    explode; dedup_minhash was the most expensive bench query). Each
+    slice is an independent-enough uniform 32-bit projection, and string
+    MIN over fixed-width lowercase hex is a valid min-hash order. The
+    per-doc mins for ALL lanes aggregate in ONE groupBy(id) — a single
+    shuffle of the shingle frame, no lane explode at all.
 
     Banding is the collision-control knob: candidate probability for
     similarity s is 1-(1-s^r)^b. r=1 makes every shared vocabulary word
@@ -82,25 +91,25 @@ def minhash_signatures(
     vs 3 s at sf0.1); r=2 keeps recall high for s>=0.5 while buckets
     stay near-unique."""
     assert num_hashes % rows_per_band == 0
-    banded = sh.select(
-        "id",
-        F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("j"),
-        "sh",
-    )
-    h = F.md5(F.concat(F.col("j").cast("string"), F.lit(":"), F.col("sh")))
-    per_hash = (
-        banded.select("id", "j", h.alias("h"))
-        .groupBy("id", "j")
-        .agg(F.min("h").alias("hj"))
-    )
-    band = (F.col("j") / rows_per_band).cast("int")
-    parts = [
-        F.min(F.when(F.col("j") % rows_per_band == r, F.col("hj")))
-        for r in range(rows_per_band)
+    assert num_hashes <= 8, "8 lanes per two md5 digests"
+    h1 = F.md5(F.col("sh"))
+    h2 = F.md5(F.concat(F.lit("x:"), F.col("sh")))
+    lanes = [
+        F.min(
+            F.substring(h1 if j < 4 else h2, 1 + 8 * (j % 4), 8)
+        ).alias(f"l{j}")
+        for j in range(num_hashes)
     ]
-    return (
-        per_hash.groupBy("id", band.alias("band"))
-        .agg(F.concat(*parts).alias("sig"))
+    per_doc = sh.groupBy("id").agg(*lanes)
+    bands = num_hashes // rows_per_band
+    stack_args = ", ".join(
+        f"{b}, concat("
+        + ", ".join(f"l{b * rows_per_band + r}" for r in range(rows_per_band))
+        + ")"
+        for b in range(bands)
+    )
+    return per_doc.selectExpr(
+        "id", f"stack({bands}, {stack_args}) as (band, sig)"
     )
 
 
@@ -120,13 +129,22 @@ def jaccard_pairs(
     sh: DataFrame,
     pairs: DataFrame | None = None,
     threshold: float = 0.0,
+    allow_unfiltered: bool = False,
 ) -> DataFrame:
-    """Exact Jaccard for candidate pairs (or all co-shingled pairs).
+    """Exact Jaccard for candidate pairs.
 
-    (a, b, inter, union_n, jac) with jac rounded to 4 digits. When
-    ``pairs`` is given the shingle join is semi-joined onto it first —
-    at corpus scale you NEVER join shingles without a candidate filter.
+    (a, b, inter, union_n, jac) with jac rounded to 4 digits. The
+    shingle self-join is semi-joined onto ``pairs`` first — at corpus
+    scale you NEVER join shingles without a candidate filter, so the
+    unfiltered form now requires an explicit ``allow_unfiltered=True``
+    (small-corpus tests only; was the r01 'weak' ngram_jaccard shape).
     """
+    if pairs is None and not allow_unfiltered:
+        raise ValueError(
+            "jaccard_pairs without candidate pairs is quadratic in the "
+            "corpus; pass pairs=minhash_candidate_pairs(...) or opt in "
+            "with allow_unfiltered=True for small test corpora"
+        )
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     a = sh.select(F.col("id").alias("a"), "sh")
     b = sh.select(F.col("id").alias("b"), "sh")

@@ -13,6 +13,9 @@
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
@@ -92,33 +95,163 @@ def neardup_pairs(
     )
 
 
+def rademacher_plane(table: int, bit: int, dim: int) -> list[int]:
+    """±1 hyperplane components from the md5 bitstream of 'h<t>:<j>'.
+
+    Rademacher (random-sign) hyperplanes are a standard sign-LSH family
+    (Charikar's rounding hyperplanes with ±1 entries — same collision
+    probability 1 - θ/π in expectation, and exactly reproducible in any
+    engine because the projection is INTEGER arithmetic). Bit d of the
+    digest follows the simhash hex-nibble convention (digit d//4, shift
+    3 - d%4). dim <= 128 per digest."""
+    import hashlib
+
+    assert dim <= 128
+    hx = hashlib.md5(f"h{table}:{bit}".encode()).hexdigest()
+    return [
+        2 * ((int(hx[d // 4], 16) >> (3 - d % 4)) & 1) - 1
+        for d in range(dim)
+    ]
+
+
+def _quantized(vec_col: str) -> Column:
+    """float32 embedding -> exact integer vector (x1000, half-up).
+
+    Quantizing makes every LSH projection EXACT int64 math: no float
+    summation-order ties, so Spark and any oracle engine compute
+    byte-identical bucket ids (the r01 axis-aligned family compared
+    float sums >= 0 — a sign flip one ulp from zero would diverge)."""
+    return F.transform(
+        F.col(vec_col),
+        lambda x: F.floor(x.cast("double") * 1000 + F.lit(0.5)).cast("long"),
+    )
+
+
 def sign_lsh_buckets(
     df: DataFrame,
     n_bits: int = 6,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     out: str = "bucket",
+    table: int = 0,
+    dim: int = 64,
 ) -> DataFrame:
-    """Deterministic sign-LSH bucket id (bitstring).
+    """Seeded sign-LSH bucket id (bitstring) for ONE hash table.
 
-    Bit j = sign of the sum of coordinates i with i % n_bits == j — a
-    fixed axis-aligned projection family (deterministic without an RNG,
-    reproducible across engines; a production variant would broadcast a
-    seeded random hyperplane matrix)."""
-    v = _dbl(F.col(vec_col))
+    Bit j = sign of <quantized(v), rademacher_plane(table, j)> — a
+    proper random-hyperplane family (replaces the r01 axis-aligned
+    projections, whose bits were correlated through the coordinate
+    distribution and hurt recall)."""
+    q = _quantized(vec_col)
     bits = []
     for j in range(n_bits):
+        w = rademacher_plane(table, j, dim)
+        # slice the plane to the vector's length: zip_with null-pads the
+        # SHORTER side, which would poison the integer sum
+        w_arr = F.slice(
+            F.array(*[F.lit(x).cast("long") for x in w]), F.lit(1), F.size(q)
+        )
         proj = F.aggregate(
-            F.zip_with(
-                v,
-                F.sequence(F.lit(0), F.size(v) - 1),
-                lambda x, i: F.when(i % n_bits == j, x).otherwise(F.lit(0.0)),
-            ),
-            F.lit(0.0),
+            F.zip_with(q, w_arr, lambda x, ww: x * ww),
+            F.lit(0).cast("long"),
             lambda acc, x: acc + x,
         )
         bits.append(F.when(proj >= 0, F.lit("1")).otherwise(F.lit("0")))
     return df.withColumn(out, F.concat(*bits))
+
+
+def lsh_bucket_table(
+    df: DataFrame,
+    n_tables: int = 16,
+    n_bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """(id, tbl, bucket): one integer bucket id per hash table
+    (OR-banding). n_tables independent tables boost recall exactly like
+    MinHash banding: candidate probability 1 - (1 - p^n_bits)^n_tables
+    for per-bit agreement p = 1 - θ/π.
+
+    All n_tables*n_bits projections compute in ONE Arrow-batched numpy
+    int64 matmul (q @ W.T) — the Column-HOF formulation (aggregate over
+    zip_with per bit) is interpreted per element and measured ~10x
+    slower at 5k x 128 projections. Integer math keeps buckets exactly
+    reproducible across engines (oracle recomputes the same sums)."""
+    from pyspark.sql.types import ArrayType, LongType
+
+    W = np.array(
+        [
+            rademacher_plane(t, j, dim)
+            for t in range(n_tables)
+            for j in range(n_bits)
+        ],
+        dtype=np.int64,
+    )  # (n_tables*n_bits, dim)
+    pow2 = (1 << np.arange(n_bits - 1, -1, -1, dtype=np.int64))
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def _buckets(vecs: pd.Series) -> pd.Series:
+        m = np.array(
+            [np.asarray(v, dtype=np.float64) for v in vecs], dtype=np.float64
+        )
+        q = np.floor(m * 1000.0 + 0.5).astype(np.int64)
+        bits = (q @ W.T) >= 0  # (n, n_tables*n_bits) — exact int64
+        ids = (
+            bits.reshape(len(q), n_tables, n_bits).astype(np.int64) * pow2
+        ).sum(axis=2)
+        return pd.Series(list(ids))
+
+    return df.select(
+        id_col, _buckets(F.col(vec_col)).alias("_bk")
+    ).select(
+        id_col, F.posexplode("_bk").alias("tbl", "bucket")
+    )
+
+
+def neardup_lsh(
+    corpus: DataFrame,
+    threshold: float = 0.4,
+    n_tables: int = 16,
+    n_bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Near-duplicate pairs through LSH buckets + exact cosine verify.
+
+    The scale path (replaces the r01 all-pairs a.join(b, a<b)): the
+    only join is a bucket equi-join on (tbl, bucket) — candidates are
+    pairs colliding in >=1 table, then exact cosine filters. Recall is
+    approximate by construction (reported in PERF.md); candidate volume
+    ~ n_tables/2^n_bits of the quadratic pair space."""
+    # persist: both join sides AND nothing else reuse the projection
+    # work (128 interpreted higher-order-function dot products per row
+    # — the bucket computation, not the join, dominates)
+    bt = lsh_bucket_table(
+        corpus, n_tables, n_bits, id_col, vec_col, dim
+    ).persist()
+    l = bt.select("tbl", "bucket", F.col(id_col).alias("a"))
+    r = bt.select("tbl", "bucket", F.col(id_col).alias("b"))
+    # dedupe the BARE id pairs (a pair can collide in up to n_tables
+    # buckets) before re-attaching vectors: shuffling (a,b) ints is
+    # ~100x lighter than shuffling 2 embedding payloads per duplicate
+    cand = (
+        l.join(r, on=["tbl", "bucket"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    va = corpus.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"))
+    vb = corpus.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"))
+    return (
+        cand.join(va, on="a").join(vb, on="b")
+        .select(
+            "a", "b",
+            F.round(cosine(F.col("va"), F.col("vb")), 4).alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+    )
 
 
 def topk_lsh(

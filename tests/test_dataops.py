@@ -47,7 +47,8 @@ class TestDedup:
 
     def test_jaccard_exact_values(self, docs):
         sh = dedup.shingles(docs)
-        jac = {(r["a"], r["b"]): r for r in dedup.jaccard_pairs(sh).collect()}
+        jac = {(r["a"], r["b"]): r
+               for r in dedup.jaccard_pairs(sh, allow_unfiltered=True).collect()}
         assert jac[(0, 3)]["jac"] == 1.0
         r = jac[(0, 1)]
         assert r["inter"] == 6 and r["union_n"] == 8 and r["jac"] == 0.75
@@ -103,6 +104,15 @@ class TestSimilarity:
     def test_neardup_threshold(self, vecs):
         out = similarity.neardup_pairs(vecs, threshold=0.9).collect()
         assert {(r["a"], r["b"]) for r in out} == {(0, 1)}
+
+    def test_neardup_lsh_plan_has_no_cartesian(self, vecs):
+        # the r01 'weak' shape was an all-pairs a<b join; the LSH path
+        # must be a bucket EQUI-join — no cartesian/nested-loop node
+        plan = similarity.neardup_lsh(
+            vecs, threshold=0.9, n_tables=2, n_bits=2, dim=3
+        )._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
 
     def test_lsh_topk_self_bucket(self, vecs):
         out = similarity.topk_lsh(vecs, vecs.filter("vec_id = 0"), k=3,
