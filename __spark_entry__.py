@@ -579,6 +579,37 @@ def q_parse_uncompress(spark, sf_dir):
     return p.select("i", "parser", "msg")
 
 
+def q_multiline(spark, sf_dir):
+    """imfile multi-line assembly (startmsg.regex, plugins/imfile/
+    imfile.c:324,1921; strm ReadMultiLine): lines not opening with a PRI
+    header are continuations of the previous message; one window cumsum
+    + one groupBy, per-conversation bounded."""
+    out = W.multiline_assemble(
+        _transcripts(spark, sf_dir),
+        start_re="^<",
+        partition_by="conv_id",
+        order_by="turn_idx",
+    )
+    return out.select(
+        "conv_id", "msg_seq", "first_turn_idx",
+        F.col("n_lines").cast("long").alias("n_lines"), "msg_text",
+    )
+
+
+def q_sys_time_props(spark, sf_dir):
+    """System time properties $now/$year/.../$wday (PROP_SYS_*,
+    msg.c:755-793; rendering getNOW msg.c:2996-3051), evaluated against
+    timegenerated (deterministic processing time)."""
+    p = _ok(spark, sf_dir)
+    return p.select(
+        "i",
+        compile_template(
+            "%$now% %$hour%:%$minute% h%$hhour% q%$qhour% w%$wday% "
+            "u%$now-unixtimestamp%"
+        ).alias("line"),
+    )
+
+
 # --- training-data ops (rsyslog_spark.dataops) -----------------------------
 
 
@@ -773,6 +804,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dyn_inc_reset": q_dyn_inc_reset,
         "dyn_inc_ttl": q_dyn_inc_ttl,
         "parse_uncompress": q_parse_uncompress,
+        "multiline": q_multiline,
+        "sys_time_props": q_sys_time_props,
         "template_options": q_template_options,
         "rs_functions2": q_rs_functions2,
         "mm_anon": q_mm_anon,
@@ -1056,6 +1089,26 @@ def oracle_sql() -> dict[str, str]:
     o["parse_uncompress"] = with_parsed_oracle(
         "SELECT i, parser, msg FROM p WHERE i % 97 <> 0"
     )
+    o["multiline"] = with_parsed_oracle(
+        ", ml AS (SELECT conv_id, turn_idx, text, "
+        "CAST(sum(CASE WHEN text LIKE '<%' THEN 1 ELSE 0 END) OVER "
+        "(PARTITION BY conv_id ORDER BY turn_idx) AS BIGINT) AS msg_seq "
+        "FROM t0) "
+        "SELECT conv_id, msg_seq, min(turn_idx) AS first_turn_idx, "
+        "count(*) AS n_lines, "
+        "string_agg(text, chr(10) ORDER BY turn_idx) AS msg_text "
+        "FROM ml GROUP BY conv_id, msg_seq"
+    )
+    o["sys_time_props"] = with_parsed_oracle(
+        "SELECT i, strftime(ts, '%Y-%m-%d') || ' ' || "
+        "strftime(ts, '%H:%M') || ' h' || "
+        "lpad(CAST(CAST(floor(minute(ts) / 30.0) AS INT) AS VARCHAR), 2, '0') || "
+        "' q' || "
+        "lpad(CAST(CAST(floor(minute(ts) / 15.0) AS INT) AS VARCHAR), 2, '0') || "
+        "' w' || CAST(dayofweek(ts) AS VARCHAR) || "
+        "' u' || CAST(CAST(epoch(ts) AS BIGINT) AS VARCHAR) AS line "
+        "FROM p WHERE parse_success"
+    )
     _JESC = (
         "replace(replace(replace(replace(replace({x}, '\\', '\\\\'), "
         "'\"', '\\\"'), chr(10), '\\n'), chr(13), '\\r'), chr(9), '\\t')"
@@ -1299,12 +1352,9 @@ def oracle_sql() -> dict[str, str]:
             "AS INT)"
         )
 
-    _sc = {
-        "en": _hits(["the", "a", "of", "and", "in", "to", "is"]),
-        "es": _hits(["el", "la", "de", "y", "en", "que", "es"]),
-        "fr": _hits(["le", "la", "de", "et", "en", "que", "est"]),
-        "de": _hits(["der", "die", "das", "und", "in", "zu", "ist"]),
-    }
+    from rsyslog_spark.dataops.textstats import STOPWORDS as _SW
+
+    _sc = {lang: _hits(words) for lang, words in _SW.items()}
     o["lang_id"] = (
         f"WITH {_W}, s AS (SELECT doc_id, {_sc['en']} AS score_en, "
         f"{_sc['es']} AS score_es, {_sc['fr']} AS score_fr, "

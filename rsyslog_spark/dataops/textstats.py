@@ -12,12 +12,21 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-# minimal function-word lists (expandable; kept tiny & well-known)
+# top-20 function words per language (standard public frequency lists;
+# still data-not-code — swap for full tables via broadcast)
 STOPWORDS = {
-    "en": ["the", "a", "of", "and", "in", "to", "is"],
-    "es": ["el", "la", "de", "y", "en", "que", "es"],
-    "fr": ["le", "la", "de", "et", "en", "que", "est"],
-    "de": ["der", "die", "das", "und", "in", "zu", "ist"],
+    "en": ["the", "of", "and", "a", "to", "in", "is", "it", "you",
+           "that", "was", "for", "on", "are", "with", "as", "at", "be",
+           "this", "have"],
+    "es": ["de", "la", "que", "el", "en", "y", "a", "los", "se", "del",
+           "las", "un", "por", "con", "no", "una", "su", "para", "es",
+           "al"],
+    "fr": ["de", "la", "le", "et", "les", "des", "en", "un", "du",
+           "une", "que", "est", "pour", "qui", "dans", "a", "par",
+           "plus", "pas", "au"],
+    "de": ["der", "die", "und", "in", "den", "von", "zu", "das", "mit",
+           "sich", "des", "auf", "ist", "im", "dem", "nicht",
+           "ein", "eine", "als", "auch"],
 }
 
 

@@ -15,6 +15,8 @@ no UDFs, full codegen — except where noted.
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -151,8 +153,88 @@ def mm_normalize(
     return df.withColumn(out, F.map_from_arrays(F.array(keys), F.array(vals)))
 
 
-def mm_utf8fix(df: DataFrame, msg_col: str = "msg") -> DataFrame:
-    """plugins/mmutf8fix analog: Spark strings are valid UTF-8 already
-    (invalid bytes were replaced at read time); identity transform kept
-    for config parity."""
-    return df
+def utf8fix_bytes(b: bytes, repl: int = 0x20, mode: str = "utf-8") -> bytes:
+    """Byte-level mmutf8fix (plugins/mmutf8fix/mmutf8fix.c:196-296).
+
+    mode='utf-8' (the default MODE_UTF8): scan UTF-8 sequences; replace
+    EVERY byte of an invalid sequence with ``repl`` — invalid means a
+    bad start byte (stray continuation / RFC3629-forbidden 5-6 byte
+    lead), a broken continuation (which also re-examines the breaking
+    byte as a fresh sequence start, the goto in doUTF8), an overlong
+    encoding, a UTF-16 surrogate, a codepoint > 0x10FFFF, or a sequence
+    truncated by end-of-message. mode='controlcharacters' (MODE_CC):
+    replace every byte outside 32..126.
+    """
+    out = bytearray(b)
+    n = len(out)
+    if mode == "controlcharacters":
+        for i in range(n):
+            if out[i] < 32 or out[i] > 126:
+                out[i] = repl
+        return bytes(out)
+    i = 0
+    while i < n:
+        c = out[i]
+        if c < 0x80:
+            i += 1
+            continue
+        if (c & 0xE0) == 0xC0:
+            need, cp, floor_cp = 1, c & 0x1F, 0x80
+        elif (c & 0xF0) == 0xE0:
+            need, cp, floor_cp = 2, c & 0x0F, 0x800
+        elif (c & 0xF8) == 0xF0:
+            need, cp, floor_cp = 3, c & 0x07, 0x10000
+        else:
+            out[i] = repl  # stray continuation or forbidden lead
+            i += 1
+            continue
+        start = i
+        j = i + 1
+        ok = True
+        while need and j < n:
+            if (out[j] & 0xC0) != 0x80:
+                ok = False  # broken continuation: wipe start..j-1,
+                break       # then re-examine out[j] as a fresh start
+            cp = (cp << 6) | (out[j] & 0x3F)
+            j += 1
+            need -= 1
+        if need and ok:
+            ok = False  # truncated by end of message
+            j = n
+        if ok and (cp < floor_cp or 0xD800 <= cp <= 0xDFFF or cp > 0x10FFFF):
+            ok = False  # overlong / surrogate / beyond Unicode
+        if not ok:
+            for k in range(start, j):
+                out[k] = repl
+        i = j
+    return bytes(out)
+
+
+def mm_utf8fix(
+    df: DataFrame,
+    msg_col: str = "msg",
+    mode: str = "utf-8",
+    replacement: str = " ",
+) -> DataFrame:
+    """plugins/mmutf8fix: replace invalid UTF-8 (or non-printable)
+    bytes with ``replacement``.
+
+    On a STRING column this is the identity — Spark/parquet strings are
+    valid UTF-8 by construction, so there is nothing to fix (documented
+    r01 behavior). On a BINARY column (the raw wire path, where the
+    reference actually operates) the real byte-level algorithm runs in
+    an Arrow batch pass."""
+    from pyspark.sql.types import BinaryType
+
+    field = df.schema[msg_col]
+    if not isinstance(field.dataType, BinaryType):
+        return df
+    repl = ord(replacement)
+
+    @F.pandas_udf(BinaryType())
+    def _fix(s: pd.Series) -> pd.Series:
+        return s.map(
+            lambda b: None if b is None else utf8fix_bytes(bytes(b), repl, mode)
+        )
+
+    return df.withColumn(msg_col, _fix(F.col(msg_col)))

@@ -25,7 +25,6 @@ from pyspark.sql import functions as F
 
 from rsyslog_spark.parse.pm3164 import parse_3164
 from rsyslog_spark.parse.pm5424 import parse_5424
-from rsyslog_spark.parse.pri import with_pri
 from rsyslog_spark.parse.sanitize import with_sanitized
 from rsyslog_spark.schema import PARSED_STRUCT
 
@@ -189,47 +188,61 @@ def with_parsed(
     parsers: tuple[str, ...] = ("rfc5424", "rfc3164"),
     require_header: bool = False,
     engine: str = "arrow",
+    keep_raw: bool = True,
 ) -> DataFrame:
     """Full parse pipeline: sanitize -> PRI -> parser chain -> derived cols.
 
-    Adds: rawmsg, pri, syslogfacility, syslogseverity, rawmsg_after_pri,
-    protocol_version, timestamp_text, hostname, syslogtag, app_name,
-    procid, msgid, structured_data, msg, parse_success, parser,
-    timereported, timegenerated, programname.
+    Adds: rawmsg*, pri, syslogfacility, syslogseverity,
+    rawmsg_after_pri*, protocol_version, timestamp_text, hostname,
+    syslogtag, app_name, procid, msgid, structured_data, msg,
+    parse_success, parser, timereported, timegenerated, programname
+    (* only with ``keep_raw=True``).
 
     The chain runs via ``mapInArrow`` — ONE Arrow round trip per
-    partition carrying the whole row, with pass-through columns staying
-    zero-copy Arrow arrays (only the 5 parse inputs are materialized as
-    pandas, only the 12 parse outputs converted back). Two rejected
+    partition, and the MESSAGE TEXT crosses the boundary exactly ONCE:
+    only ``rawmsg`` ships in; ``rawmsg_after_pri`` is re-derived from
+    it with one RE2 pass inside the worker (it used to ride the channel
+    as a second full-text column — r01 shipped the text 3x: rawmsg in,
+    after_pri in, rawmsg out; at 10^12 rows those copies are the
+    memory-bandwidth bill the scaling gate pays). ``keep_raw=False``
+    (the flagship/routing path, which never reads rawmsg downstream)
+    drops the raw text from the RETURN batch too — text crosses once
+    inbound, and only the parsed fields come back. Two rejected
     alternatives, both measured slower at 1M rows: a struct-returning
     pandas UDF (projection collapse duplicates the UDF per extracted
-    field — observed 2× ArrowEvalPython), and mapInPandas (object-ifies
-    every pass-through column both ways ≈ 2.7× the parse CPU itself).
+    field — observed 2x ArrowEvalPython), and mapInPandas (object-ifies
+    every pass-through column both ways ~2.7x the parse CPU itself).
     This is the Spark analog of the reference's one ParseMsg pass per
     dequeued batch (runtime/parser.c:617-694, queue.c:1534).
     """
     from pyspark.sql import types as T
 
     df = with_sanitized(df, raw_col=text_col, out="rawmsg")
-    df = with_pri(df, raw_col="rawmsg")
-    fromhost = (
-        F.col(fromhost_col) if fromhost_col else F.lit("")
+    raw = F.col("rawmsg")
+    # PRI ints are computed natively (4-byte columns are channel-cheap;
+    # the TEXT columns are the expensive cargo)
+    from rsyslog_spark.parse.pri import (
+        _pri_len_sql,
+        facility_expr,
+        pri_expr,
+        severity_expr,
     )
-    # Slim the Arrow channel: `text` duplicates `rawmsg` (sanitized) and
-    # `rawmsg_after_pri` is a suffix of it — at 10^12 rows every string
-    # column shipped through Python costs real memory bandwidth. text is
-    # dropped entirely (rsyslog keeps only pszRawMsg, msg.h:79);
-    # rawmsg_after_pri goes IN to the chain but is re-derived natively
-    # on the way out instead of riding the return batch.
-    pre = df.drop(text_col).withColumn("_fromhost", fromhost).withColumn(
-        "_has_pri", F.col("rawmsg").startswith("<")
+
+    df = (
+        df.withColumn("pri", pri_expr(raw))
+        .withColumn("syslogfacility", facility_expr(F.col("pri")))
+        .withColumn("syslogseverity", severity_expr(F.col("pri")))
     )
-    from rsyslog_spark.parse.pri import _pri_len_sql
+    pre = df.drop(text_col).withColumn("_has_pri", raw.startswith("<"))
+    if fromhost_col:
+        pre = pre.withColumn("_fromhost", F.col(fromhost_col))
     from rsyslog_spark.schema import PARSED_STRUCT
 
+    drop_out = {"_has_pri", "_fromhost"}
+    if not keep_raw:
+        drop_out.add("rawmsg")
     out_fields = [
-        f for f in df.schema.fields
-        if f.name not in (text_col, "rawmsg_after_pri")
+        f for f in pre.schema.fields if f.name not in drop_out
     ]
     out_schema = T.StructType(out_fields + list(PARSED_STRUCT.fields))
     _PA_TYPES = {
@@ -245,28 +258,43 @@ def with_parsed(
     if engine == "arrow" and tuple(parsers) not in _ARROW_CHAINS:
         engine = "pandas"  # arrow fast path implements the stock chains
     with_lastmsg = _ARROW_CHAINS.get(tuple(parsers), False)
+    has_fromhost = bool(fromhost_col)
+
+    # offAfterPRI re-derivation (mirrors pri.pri_len_expr): valid
+    # '<0-4 digits>' with value <= 191 consumes the bracket run
+    _AFTER_PRI_RE = r"(?s)^<(?P<d>[0-9]{0,4})>(?P<rest>.*)$"
 
     def _run(batches):
         import pyarrow as pa
+        import pyarrow.compute as pc
+
+        from rsyslog_spark.parse.arrow_chain import _extract, _ints
 
         for batch in batches:
             names = batch.schema.names
             col = {n: batch.column(i) for i, n in enumerate(names)}
-            keep = [
-                n
-                for n in names
-                if n not in ("_fromhost", "_has_pri", "rawmsg_after_pri")
-            ]
+            keep = [n for n in names if n not in drop_out]
             arrays = [col[n] for n in keep]
+            rawa = pc.fill_null(col["rawmsg"].cast(pa.string()), "")
+            g = _extract(rawa, _AFTER_PRI_RE)
+            valid = pc.and_(g["_ok"], pc.less_equal(
+                pa.array(_ints(g["d"]), pa.int64()), 191
+            ))
+            after_pri = pc.if_else(valid, pc.fill_null(g["rest"], ""), rawa)
+            fromhost_a = (
+                col["_fromhost"]
+                if has_fromhost
+                else pa.array([""] * len(rawa), pa.string())
+            )
             if engine == "arrow":
                 # zero-object path: strings never leave Arrow
                 from rsyslog_spark.parse.arrow_chain import parse_chain_arrow
 
                 out_a = parse_chain_arrow(
-                    col["rawmsg_after_pri"],
+                    after_pri,
                     col["syslogfacility"],
                     col[recv_ts_col],
-                    col["_fromhost"],
+                    fromhost_a,
                     col["_has_pri"],
                     require_header=require_header,
                     with_lastmsg=with_lastmsg,
@@ -282,10 +310,10 @@ def with_parsed(
                 # naive-UTC wall time like the rest of the engine
                 recv = recv.dt.tz_localize(None)
             out = parse_chain_pd(
-                col["rawmsg_after_pri"].to_pandas(),
+                after_pri.to_pandas(),
                 col["syslogfacility"].to_pandas(),
                 recv,
-                col["_fromhost"].to_pandas(),
+                fromhost_a.to_pandas(),
                 col["_has_pri"].to_pandas(),
                 parsers=tuple(parsers),
                 require_header=require_header,
@@ -305,12 +333,13 @@ def with_parsed(
             yield pa.RecordBatch.from_arrays(arrays, names=keep + _FIELDS)
 
     df = pre.mapInArrow(_run, out_schema)
-    # rawmsg-after-pri property (msg.h:70 offAfterPRI) re-derived
-    # natively — cheap JVM substring instead of an Arrow string column
-    df = df.withColumn(
-        "rawmsg_after_pri",
-        F.expr(f"substring(rawmsg, 1 + {_pri_len_sql('rawmsg')})"),
-    )
+    if keep_raw:
+        # rawmsg-after-pri property (msg.h:70 offAfterPRI) re-derived
+        # natively — cheap JVM substring instead of an Arrow string column
+        df = df.withColumn(
+            "rawmsg_after_pri",
+            F.expr(f"substring(rawmsg, 1 + {_pri_len_sql('rawmsg')})"),
+        )
     df = df.withColumn("timegenerated", F.col(recv_ts_col))
     df = df.withColumn(
         "programname", F.regexp_extract(F.col("syslogtag"), _PROGNAME_RE, 1)

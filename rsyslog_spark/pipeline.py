@@ -93,7 +93,10 @@ def build_flagship(
 ) -> tuple[DataFrame, list]:
     """Parse + enrich + compile routing. Returns (annotated, actions)."""
     spark = transcripts.sparkSession
-    parsed = with_parsed(transcripts, require_header=True)
+    # keep_raw=False: no downstream consumer (predicates, templates,
+    # sinks) reads rawmsg — the raw text crosses the Arrow boundary
+    # once inbound and never comes back (see with_parsed)
+    parsed = with_parsed(transcripts, require_header=True, keep_raw=False)
     enriched = enrich_join(
         parsed,
         tool_dim_df(spark),

@@ -96,3 +96,45 @@ def streaming_repeat_suppression(
         outputMode="append",
         timeoutConf=timeout,
     )
+
+
+def streaming_dyn_inc(
+    stream,
+    bucket: str,
+    key: str,
+    ts_col: str = "ts",
+    interval_s: int = 600,
+    watermark: str = "10 minutes",
+):
+    """Streaming dynstats emission: per-interval counter rows
+    (runtime/dynstats.c resettable cycle — each emission interval
+    independent) as a WATERMARKED tumbling-window aggregation.
+
+    The watermark bounds state exactly like unusedMetricLife bounds the
+    reference's bucket hash: windows older than the watermark are
+    finalized and purged from the store. Late rows within the watermark
+    still count (the daemon's analog: messages queued before the stats
+    timer fires); rows later than that are dropped — the documented
+    trade the reference makes too (a counter already emitted is never
+    amended).
+
+    Scale shape: streaming partial aggregation per micro-batch + state
+    store keyed by (window, key) — Spark's native map-side combine, no
+    custom state code.
+    """
+    from pyspark.sql import functions as F
+
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(
+            F.window(F.col(ts_col), f"{interval_s} seconds"),
+            F.col(key).alias("key"),
+        )
+        .agg(F.count(F.lit(1)).alias("count"))
+        .select(
+            F.lit(bucket).alias("name"),
+            "key",
+            F.col("window.start").alias("window_start"),
+            "count",
+        )
+    )

@@ -128,6 +128,34 @@ def resolve_property(name: str) -> Column:
         # vars map (SURVEY §1.3) — rsyslog separates their lifetimes,
         # but in a per-row dataflow both die with the row anyway
         return F.element_at(F.col("vars"), name[2:])
+    # system time properties (PROP_SYS_*, msg.c:755-793; formatting
+    # getNOW msg.c:2996-3051). "Processing time" = timegenerated here
+    # (deterministic per row — a wall clock would break golden tests and
+    # distributed replay alike). Engine pins UTC, so the -utc variants
+    # coincide (TIME_IN_LOCALTIME == UTC under our session tz).
+    sysname = lname[1:] if lname.startswith("$") else lname
+    _tg = F.col("timegenerated")
+    _sys = {
+        "now": lambda: F.date_format(_tg, "yyyy-MM-dd"),
+        "year": lambda: F.date_format(_tg, "yyyy"),
+        "month": lambda: F.date_format(_tg, "MM"),
+        "day": lambda: F.date_format(_tg, "dd"),
+        "hour": lambda: F.date_format(_tg, "HH"),
+        "minute": lambda: F.date_format(_tg, "mm"),
+        # half-hour / quarter-hour index within the hour, zero-padded
+        "hhour": lambda: F.lpad(
+            (F.minute(_tg) / 30).cast("int").cast("string"), 2, "0"
+        ),
+        "qhour": lambda: F.lpad(
+            (F.minute(_tg) / 15).cast("int").cast("string"), 2, "0"
+        ),
+        # tm_wday: Sunday=0 (Spark dayofweek: Sunday=1)
+        "wday": lambda: (F.dayofweek(_tg) - 1).cast("string"),
+        "now-unixtimestamp": lambda: F.unix_timestamp(_tg).cast("string"),
+    }
+    base = sysname[:-4] if sysname.endswith("-utc") else sysname
+    if base in _sys:
+        return _sys[base]()
     # not an rsyslog message property: treat as a raw column of the
     # input table (the engine runs over arbitrary transcript schemas —
     # Spark's analyzer reports unknown columns with suggestions)

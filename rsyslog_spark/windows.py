@@ -152,3 +152,69 @@ def seq_check(
     return agg.filter(
         ~((F.col("lo") == 0) & (F.col("hi") == F.col("n") - 1) & (F.col("nd") == F.col("n")))
     )
+
+
+def multiline_assemble(
+    df: DataFrame,
+    start_re: str | None = None,
+    mode: str = "startmsg",
+    text_col: str = "text",
+    partition_by: str = "conv_id",
+    order_by: str | list[str] = "turn_idx",
+    sep: str = "\n",
+) -> DataFrame:
+    """imfile multi-line message assembly (plugins/imfile readMode /
+    startmsg.regex, imfile.c:324,1623,1921-1922; strm.ReadMultiLine).
+
+    A physical line STARTS a new message when:
+    - mode='startmsg': it matches ``start_re`` (startmsg.regex)
+    - mode='indented': it does NOT begin with space/tab (readMode=1)
+    - mode='paragraph': the PREVIOUS line was empty (readMode=2)
+    Continuation lines are appended with ``sep`` (the reference's
+    escapeLF rendering happens downstream in sanitize, exactly like its
+    pipeline order). Lines before the first start form message 0
+    (the reference flushes pending partial data the same way).
+
+    Returns one row per assembled message: (partition, msg_seq,
+    first ``order_by`` value, n_lines, assembled text).
+
+    Scale shape: one window cumsum over the bounded per-file/per-conv
+    partition + one groupBy — no self-joins, no driver state; exactly
+    the shape of the other sequence operators in this module.
+    """
+    o = [order_by] if isinstance(order_by, str) else list(order_by)
+    t = F.col(text_col)
+    if mode == "startmsg":
+        if not start_re:
+            raise ValueError("mode='startmsg' requires start_re")
+        is_start = t.rlike(start_re)
+    elif mode == "indented":
+        is_start = ~(t.startswith(" ") | t.startswith("\t"))
+    elif mode == "paragraph":
+        prev = F.lag(t).over(_w(partition_by, o))
+        is_start = prev.isNull() | (prev == "")
+    else:
+        raise ValueError(f"unknown mode {mode!r}")
+    w = _w(partition_by, o)
+    seq = F.sum(is_start.cast("long")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    first_o = o[0]
+    lines = df.withColumn("_mseq", seq)
+    return (
+        lines.groupBy(partition_by, "_mseq")
+        .agg(
+            F.min(first_o).alias(f"first_{first_o}"),
+            F.count(F.lit(1)).alias("n_lines"),
+            F.concat_ws(
+                sep,
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(F.struct(first_o, text_col))
+                    ),
+                    lambda s: s[text_col],
+                ),
+            ).alias("msg_text"),
+        )
+        .withColumnRenamed("_mseq", "msg_seq")
+    )

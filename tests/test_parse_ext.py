@@ -74,6 +74,37 @@ class TestPmLastMsg:
             assert got[4][0] == "rfc3164"
 
 
+class TestUtf8Fix:
+    def test_byte_level_rules(self):
+        from rsyslog_spark.mods import utf8fix_bytes
+
+        f = lambda b: utf8fix_bytes(b)  # noqa: E731
+        assert f(b"plain ascii") == b"plain ascii"
+        assert f("héllo".encode()) == "héllo".encode()  # valid 2-byte
+        assert f(b"a\x80b") == b"a b"          # stray continuation
+        assert f(b"a\xc0\xafb") == b"a  b"     # overlong 2-byte
+        assert f(b"a\xed\xa0\x80b") == b"a   b"  # UTF-16 surrogate
+        assert f(b"a\xf8\x88b") == b"a  b"     # forbidden 5-byte lead +
+        #                                        stray continuation
+        assert f(b"a\xe2\x82") == b"a  "       # truncated at end
+        # broken continuation: lead wiped, breaking byte re-examined
+        assert f(b"\xc3Abc") == b" Abc"
+        assert utf8fix_bytes(b"a\x07b\xffc", mode="controlcharacters") \
+            == b"a b c"
+
+    def test_binary_column_and_string_identity(self, spark):
+        from rsyslog_spark import mods
+
+        bdf = spark.createDataFrame(
+            [(1, b"ok \xc3\xa9"), (2, b"bad \x80\xff")], "i int, msg binary"
+        )
+        out = {r["i"]: bytes(r["msg"])
+               for r in mods.mm_utf8fix(bdf).collect()}
+        assert out[1] == b"ok \xc3\xa9" and out[2] == b"bad   "
+        sdf = spark.createDataFrame([(1, "fine")], "i int, msg string")
+        assert mods.mm_utf8fix(sdf) is sdf  # string: identity
+
+
 class TestDynstatsCycles:
     @pytest.fixture(scope="class")
     def events(self, spark):
