@@ -610,6 +610,28 @@ def q_sys_time_props(spark, sf_dir):
     )
 
 
+def q_immark_rows(spark, sf_dir):
+    """immark heartbeat injection (plugins/immark/immark.c:55-63,
+    201-203): one '-- MARK --' row per elapsed period over the event-
+    time span, unioned into the stream shape."""
+    from rsyslog_spark.sources.mark import with_marks
+
+    out = with_marks(_transcripts(spark, sf_dir), period_s=600)
+    return out.filter(F.col("conv_id") == "--mark--").select(
+        "conv_id", "turn_idx", "role", "text", "tool", "ts"
+    )
+
+
+def q_rate_limit_severity(spark, sf_dir):
+    """ratelimit severity gate (ratelimit.c:253-255,397-399): messages
+    more important than the threshold bypass the limiter AND do not
+    consume burst budget."""
+    out = W.rate_limit(
+        _parsed(spark, sf_dir), interval_s=60, burst=3, severity=4
+    )
+    return out.select("conv_id", "turn_idx", "rl_keep")
+
+
 # --- training-data ops (rsyslog_spark.dataops) -----------------------------
 
 
@@ -806,6 +828,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parse_uncompress": q_parse_uncompress,
         "multiline": q_multiline,
         "sys_time_props": q_sys_time_props,
+        "immark_rows": q_immark_rows,
+        "rate_limit_severity": q_rate_limit_severity,
         "template_options": q_template_options,
         "rs_functions2": q_rs_functions2,
         "mm_anon": q_mm_anon,
@@ -1098,6 +1122,25 @@ def oracle_sql() -> dict[str, str]:
         "count(*) AS n_lines, "
         "string_agg(text, chr(10) ORDER BY turn_idx) AS msg_text "
         "FROM ml GROUP BY conv_id, msg_seq"
+    )
+    o["immark_rows"] = with_parsed_oracle(
+        ", span AS (SELECT CAST(floor(epoch(min(ts)) / 600) AS BIGINT) + 1 "
+        "AS klo, CAST(floor(epoch(max(ts)) / 600) AS BIGINT) AS khi "
+        "FROM t0) "
+        "SELECT '--mark--' AS conv_id, "
+        "CAST(row_number() OVER (ORDER BY k) - 1 AS INT) AS turn_idx, "
+        "'system' AS role, '-- MARK --' AS text, '' AS tool, "
+        "make_timestamp(k * 600 * 1000000) AS ts "
+        "FROM span, unnest(generate_series(span.klo, span.khi)) AS tk(k)"
+    )
+    # severity gate: sev >= 4 limited (burst 3 per conv per minute,
+    # ranked among limited rows only); sev < 4 always kept
+    o["rate_limit_severity"] = with_parsed_oracle(
+        "SELECT conv_id, turn_idx, "
+        "CASE WHEN syslogseverity < 4 THEN TRUE ELSE "
+        "sum(CASE WHEN syslogseverity >= 4 THEN 1 ELSE 0 END) OVER "
+        "(PARTITION BY conv_id, date_trunc('minute', ts) ORDER BY turn_idx) "
+        "<= 3 END AS rl_keep FROM p"
     )
     o["sys_time_props"] = with_parsed_oracle(
         "SELECT i, strftime(ts, '%Y-%m-%d') || ' ' || "

@@ -802,9 +802,19 @@ _LEGACY_PROPFILT = re.compile(
 _LEGACY_TEMPLATE = re.compile(r'^\s*\$template\s+(\w+),"(?P<t>[^"]*)"')
 
 
+_BSD_BLOCK = re.compile(r"^\s*[!+][^\s=]+\s*$")
+
+
 def _legacy_line(line: str, cfg: ParsedConfig) -> bool:
     """Handle sysklogd-style lines (conf.c legacy format). Returns True
     if the line was consumed."""
+    if _BSD_BLOCK.match(line):
+        # exact reference parity: modern rsyslog REJECTS BSD-style
+        # blocks (cnfDoBSDTag/cnfDoBSDHost, runtime/rsconf.c:519-536)
+        raise ValueError(
+            f"BSD-style blocks are no longer supported (rsconf.c:519-536):"
+            f" {line.strip()!r}"
+        )
     m = _LEGACY_TEMPLATE.match(line)
     if m:
         cfg.templates[m.group(1)] = m.group("t")

@@ -42,6 +42,9 @@ class SinkSpec:
     columns: list[str] | None = None  # projection; None -> parsed core
     mode: str = "overwrite"
     format: str = "parquet"  # 'iceberg' on a real cluster
+    # omfile zip/veryRobustZip analog: output codec (omfile.c zip
+    # support); None = table format default
+    compression: str | None = None
 
 
 DEFAULT_SINK_COLUMNS = [
@@ -103,6 +106,8 @@ def fan_out(
                     ]
                     out = out.select(*cols)
                 w = out.write.mode(spec.mode).format(spec.format)
+                if spec.compression:
+                    w = w.option("compression", spec.compression)
                 if spec.partition_by:
                     w = w.partitionBy(*spec.partition_by)
                 w.save(os.path.join(base_path, a.sink))

@@ -69,13 +69,29 @@ def rate_limit(
     ts_col: str = "ts",
     order_by: str = "turn_idx",
     keep_col: str = "rl_keep",
+    severity: int = 0,
+    severity_col: str = "syslogseverity",
 ) -> DataFrame:
     """Linux-style ratelimiter (interval, burst) — ratelimit.c:145-205:
     allow ``burst`` messages per interval window per limiter; mark the
     rest. The reference counts and reports discards; we mark with a
-    boolean so the caller can route or drop (discard count = filter)."""
+    boolean so the caller can route or drop (discard count = filter).
+
+    ``severity``: only messages AT OR NUMERICALLY ABOVE the threshold
+    (i.e. less important) are rate limited (ratelimit.c:253-255
+    'severity >= ratelimit->severity'); 0 (default) limits everything.
+    """
     win = F.window(F.col(ts_col), f"{interval_s} seconds")
     w = Window.partitionBy(F.col(source_col), win).orderBy(order_by)
+    if severity > 0:
+        # bypassing messages do NOT consume burst budget (the reference
+        # skips the limiter body entirely for them): rank only the
+        # limited rows via a running count of the limited flag
+        limited = F.col(severity_col) >= severity
+        cnt = F.sum(limited.cast("long")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        return df.withColumn(keep_col, ~limited | (cnt <= burst))
     return df.withColumn(keep_col, F.row_number().over(w) <= burst)
 
 

@@ -55,6 +55,41 @@ class TestMultiline:
         assert out[1] == "a\nb\n" and out[2] == "c\nd"
 
 
+class TestImmarkAndRatelimit:
+    def test_mark_rows_span(self, spark):
+        from rsyslog_spark.sources.mark import mark_rows
+
+        df = spark.createDataFrame(
+            [("2024-01-01 00:05:00",), ("2024-01-01 00:47:00",)], "s string"
+        ).select(F.col("s").cast("timestamp").alias("ts"))
+        marks = sorted(
+            r["ts"].isoformat() for r in mark_rows(df, period_s=1200).collect()
+        )
+        # boundaries inside (00:05, 00:47]: 00:20, 00:40
+        assert marks == ["2024-01-01T00:20:00", "2024-01-01T00:40:00"]
+
+    def test_severity_bypass_consumes_no_budget(self, spark):
+        from rsyslog_spark.windows import rate_limit
+
+        rows = [("c", i, 7 if i % 2 == 0 else 0, "2024-01-01 00:00:05")
+                for i in range(8)]
+        df = spark.createDataFrame(
+            rows, "conv_id string, turn_idx int, syslogseverity int, s string"
+        ).select("*", F.col("s").cast("timestamp").alias("ts"))
+        out = {r["turn_idx"]: r["rl_keep"]
+               for r in rate_limit(df, 60, burst=2, severity=4).collect()}
+        # sev 0 rows (odd idx) always pass; sev 7 rows (even) ranked
+        # among THEMSELVES: first two pass, rest dropped
+        assert out[1] and out[3] and out[5] and out[7]
+        assert out[0] and out[2] and not out[4] and not out[6]
+
+    def test_bsd_blocks_rejected(self, spark):
+        from rsyslog_spark.config import parse_config
+
+        with pytest.raises(ValueError, match="BSD-style blocks"):
+            parse_config("!ppp\n*.err /var/log/x.log\n")
+
+
 class TestSysTimeProps:
     def test_now_family(self, spark):
         from rsyslog_spark.templates import compile_template
