@@ -169,3 +169,29 @@ class TestSkew:
     def test_repartition_preserves_rows(self, transcripts):
         out = repartition_salted(transcripts, buckets=8, num_partitions=16)
         assert out.count() == transcripts.count()
+
+
+class TestFlagshipPlanShape:
+    """Regression-pin the 100 TB plan properties (PERF.md audit)."""
+
+    def test_flagship_plan(self, spark):
+        from pyspark.sql import functions as F
+
+        from rsyslog_spark.pipeline import build_flagship
+        from rsyslog_spark.sources.transcripts import transcripts_spark
+
+        t = transcripts_spark(spark, "/root/testdata/sf0.001")
+        ann, actions = build_flagship(t)
+        agg = ann.agg(
+            F.count(F.lit(1)).alias("rows"),
+            *[F.sum(F.col(a.pred_col).cast("long")) for a in actions],
+        )
+        plan = agg._jdf.queryExecution().executedPlan().toString()
+        # one Arrow crossing, broadcast-only joins, no quadratic shapes
+        assert plan.count("MapInArrow") == 1
+        assert plan.count("BroadcastHashJoin") == 2
+        assert plan.count("SortMergeJoin") == 0
+        assert plan.count("CartesianProduct") == 0
+        assert plan.count("BroadcastNestedLoopJoin") == 0
+        # raw text does not ride back through the barrier on this path
+        assert "rawmsg" not in ann.columns
