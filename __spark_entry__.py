@@ -168,6 +168,24 @@ def q_lookup_tool_class(spark, sf_dir):
     )
 
 
+_SEVNAMES = ["emerg", "alert", "crit", "err",
+             "warning", "notice", "info", "debug"]
+
+
+def q_lookup_array(spark, sf_dir):
+    """Array-type lookup table (dense uint index -> value, lookup.c
+    array tables): constant-map probe, out-of-range -> nomatch."""
+    t = LookupTable(
+        "sevnames", "array",
+        {str(k): v for k, v in enumerate(_SEVNAMES)},
+        nomatch="?",
+    )
+    return _transcripts(spark, sf_dir).select(
+        "i",
+        t.lookup_expr((F.col("i") % 10).cast("string")).alias("sev_name"),
+    )
+
+
 def q_asof_sev_bucket(spark, sf_dir):
     df = _transcripts(spark, sf_dir).withColumn(
         "k", (F.col("i") % 1500).cast("long")
@@ -804,6 +822,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "enrich_sink_groups": q_enrich_sink_groups,
         "lookup_tool_class": q_lookup_tool_class,
         "asof_sev_bucket": q_asof_sev_bucket,
+        "lookup_array": q_lookup_array,
         "dyn_inc_programname": q_dyn_inc_programname,
         "mm_count_app_sev": q_mm_count_app_sev,
         "mm_sequence_conv": q_mm_sequence_conv,
@@ -939,6 +958,12 @@ def oracle_sql() -> dict[str, str]:
     )
     o["lookup_tool_class"] = with_parsed_oracle(
         f"SELECT i, tool, {_tool_class} AS tool_class FROM t0"
+    )
+    o["lookup_array"] = with_parsed_oracle(
+        "SELECT i, CASE i % 10 WHEN 0 THEN 'emerg' WHEN 1 THEN 'alert' "
+        "WHEN 2 THEN 'crit' WHEN 3 THEN 'err' WHEN 4 THEN 'warning' "
+        "WHEN 5 THEN 'notice' WHEN 6 THEN 'info' WHEN 7 THEN 'debug' "
+        "ELSE '?' END AS sev_name FROM t0"
     )
     o["asof_sev_bucket"] = with_parsed_oracle(
         "SELECT i, CAST(i % 1500 AS BIGINT) AS k, "

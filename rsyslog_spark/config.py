@@ -241,8 +241,18 @@ class _Parser:
             if lword == "template":
                 self.next()
                 p = self.params()
-                if p.get("type", "string") != "string":
-                    raise ValueError("only type=string templates supported")
+                ttype = p.get("type", "string")
+                if ttype == "subtree":
+                    # template(type="subtree" subtree="$!x") renders the
+                    # JSON subtree (template.c subtree templates)
+                    self.cfg.templates[p["name"]] = (
+                        "__subtree__" + p.get("subtree", "$!")
+                    )
+                    return
+                if ttype != "string":
+                    raise ValueError(
+                        "only type=string/subtree templates supported"
+                    )
                 self.cfg.templates[p["name"]] = p["string"]
                 return
             if lword == "ruleset":

@@ -173,6 +173,32 @@ _JSONMESG_COLS = [
 # msg.c:3555-3566 via getTimeReported msg.c:1788)
 # ---------------------------------------------------------------------------
 
+def subtree_template(path: str, vars_col: str = "vars") -> Column:
+    """template(type="subtree" subtree="$!x") — render a JSON subtree
+    of the variable tree (template.c subtree type; tpl.subtree).
+
+    The flat vars map stores containers either as a JSON text value
+    under the key itself (the parse_json path) or as 'x!k' flat
+    entries; the render prefers the stored JSON and falls back to
+    re-nesting one level of flat keys. subtree="$!" renders the whole
+    (flat) tree."""
+    key = path[2:] if path.startswith(("$!", "$.")) else path.lstrip("$")
+    v = F.col(vars_col)
+    if not key:
+        return F.to_json(v)
+    stored = F.element_at(v, F.lit(key))
+    prefix = key + "!"
+    sub = F.transform_keys(
+        F.map_filter(v, lambda k, _: k.startswith(prefix)),
+        lambda k, _: F.substring(k, len(prefix) + 1, 2**30),
+    )
+    return F.coalesce(
+        stored,
+        F.when(F.size(F.map_keys(sub)) > 0, F.to_json(sub)),
+        F.lit(""),
+    )
+
+
 def format_timestamp(col: Column, fmt: str | None) -> Column:
     """Render a timestamp column per template date option. Default (no
     option) is the RFC3164 form (getTimeReported tplFmtDefault; the
@@ -333,6 +359,9 @@ def compile_template(spec: str) -> Column:
     """
     if spec in BUILTIN_TEMPLATES:
         spec = BUILTIN_TEMPLATES[spec]
+    if spec.startswith("__subtree__"):
+        # config frontend marker for template(type="subtree" ...)
+        return subtree_template(spec[len("__subtree__"):])
     parts: list[Column] = []
     pos = 0
     toggle_field = False

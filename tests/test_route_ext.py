@@ -253,3 +253,37 @@ class TestConfigExpressions:
         conf = 'ruleset(name="c") { if not 0 == 1 then { action(type="omfile" file="/x/t.log") } }'
         ann, actions = compile_config(df, conf, entry="c")
         assert len(_rows(actions[0], ann)) == 4
+
+
+class TestSubtreeTemplate:
+    def test_subtree_render(self, df):
+        from rsyslog_spark.config import compile_config
+
+        conf = """
+        template(name="sub" type="subtree" subtree="$!doc")
+        ruleset(name="r") {
+            if parse_json($payload, "$!doc") == 0 then {
+                action(type="omfile" file="/x/out.log" template="sub")
+            }
+        }
+        """
+        ann, actions = compile_config(df, conf, entry="r")
+        a = actions[0]
+        rows = {r["i"]: r[a.out_col]
+                for r in a.output(ann).select("i", a.out_col).collect()}
+        # stored-JSON container renders verbatim
+        assert rows[1] == '{"a":"1","b":"x"}'
+
+    def test_subtree_flat_keys(self, spark):
+        from pyspark.sql import functions as F
+
+        from rsyslog_spark.templates import subtree_template
+
+        d = spark.createDataFrame([(1,)], "i int").withColumn(
+            "vars",
+            F.create_map(
+                F.lit("x!k"), F.lit("v"),
+            ),
+        )
+        out = d.select(subtree_template("$!x").alias("s")).first()["s"]
+        assert out == '{"k":"v"}'
