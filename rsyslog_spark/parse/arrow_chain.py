@@ -94,6 +94,29 @@ def _epoch_us(y, mo, d, hh, mi, ss) -> np.ndarray:
     )
 
 
+_DIM = np.array([31, 28, 31, 30, 31, 30, 31, 31, 30, 31, 30, 31])
+
+
+def _calendar_ok(y, mo, d, hh, mi, ss, ss_max=59) -> np.ndarray:
+    """Field-range + calendar validation. The reference checks ranges
+    only (month 1-12, day 1-31, hour 0-23, min 0-59, sec 0-60 —
+    datetime.c:329-358) and lets mktime normalize; we additionally
+    reject non-calendar dates (Feb 31) so both chain engines agree
+    deterministically. Leap second 60 is accepted on the 3164 path
+    (ss_max=60, rolls into the next minute like mktime — the pandas
+    reference path does the same) and rejected on the 3339 path (ISO
+    parsing rejects it)."""
+    mo_c = np.clip(mo, 1, 12).astype(np.int64)
+    dim = _DIM[mo_c - 1]
+    leap = ((y % 4 == 0) & (y % 100 != 0)) | (y % 400 == 0)
+    dim = np.where((mo_c == 2) & leap, 29, dim)
+    return (
+        (mo >= 1) & (mo <= 12) & (d >= 1) & (d <= dim)
+        & (hh >= 0) & (hh <= 23) & (mi >= 0) & (mi <= 59)
+        & (ss >= 0) & (ss <= ss_max)
+    )
+
+
 def _ts3339_us(g: dict, recv_us: np.ndarray, ok: np.ndarray) -> np.ndarray:
     """RFC3339 groups -> epoch µs (UTC-normalized); fallback recv."""
     y = _ints(g["y"], 1970)
@@ -102,6 +125,7 @@ def _ts3339_us(g: dict, recv_us: np.ndarray, ok: np.ndarray) -> np.ndarray:
     hh = _ints(g["hh"])
     mi = _ints(g["mi"])
     ss = _ints(g["sec"])
+    ok = ok & _calendar_ok(y, mo, d, hh, mi, ss)
     base = _epoch_us(y, mo, d, hh, mi, ss)
     # fractional seconds: '.5' -> 500000 µs ('0'+frac casts cleanly)
     frac_s = pc.binary_join_element_wise(
@@ -114,6 +138,8 @@ def _ts3339_us(g: dict, recv_us: np.ndarray, ok: np.ndarray) -> np.ndarray:
     neg = pc.starts_with(zone, "-").to_numpy(zero_copy_only=False)
     zh = _ints(pc.utf8_slice_codeunits(zone, 1, 3))
     zm = _ints(pc.utf8_slice_codeunits(zone, 4, 6))
+    # offset hour/min ranges (datetime.c:377-392)
+    ok = ok & (zh <= 23) & (zm <= 59)
     off_us = (np.where(neg, -1, 1) * (zh * 60 + zm) * 60 * 1_000_000).astype(
         "int64"
     )
@@ -156,6 +182,7 @@ def _ts3164_us(g: dict, recv_us: np.ndarray, ok: np.ndarray) -> np.ndarray:
     y = ry.copy()
     y[(mo == 12) & (rm == 1)] -= 1
     y[(mo == 1) & (rm == 12)] += 1
+    ok = ok & _calendar_ok(y, mo, d, hh, mi, ss, ss_max=60)
     out = _epoch_us(y, mo, d, hh, mi, ss)
     return np.where(ok, out, recv_us)
 

@@ -96,6 +96,7 @@ def _ts3164_values(g: pd.DataFrame, recv_ts: pd.Series) -> tuple[pd.Series, pd.S
     """(timestamp_text, timereported) for matched 3164 groups."""
     mon = g["mon"].map(_MONTH_NUM).astype(int)
     year = _estimate_year(mon, recv_ts)
+    sec = g["s"].astype(int)
     t = pd.to_datetime(
         pd.DataFrame(
             {
@@ -104,12 +105,15 @@ def _ts3164_values(g: pd.DataFrame, recv_ts: pd.Series) -> tuple[pd.Series, pd.S
                 "day": g["day"].str.strip().astype(int).values,
                 "hour": g["h"].astype(int).values,
                 "minute": g["mi"].astype(int).values,
-                "second": g["s"].astype(int).values,
+                "second": sec.values,
             }
         ),
         errors="coerce",
     )
     t.index = g.index
+    # pandas normalizes ANY out-of-range second; the reference accepts
+    # only 0-60 (leap second, datetime.c:707) — reject 61+ like it does
+    t = t.where(sec <= 60)
     txt = g["mon"] + " " + g["day"] + " " + g["h"] + ":" + g["mi"] + ":" + g["s"]
     return txt, t.where(t.notna(), recv_ts).astype("datetime64[us]")
 

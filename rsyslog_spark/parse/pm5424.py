@@ -68,6 +68,8 @@ def parse_ts3339(ts: pd.Series) -> pd.Series:
             hh = zone[has_off].str[1:3].astype(int)
             mm = zone[has_off].str[4:6].astype(int)
             offs[has_off] = pd.to_timedelta(sign * (hh * 60 + mm), unit="m")
+            # offset ranges: hour 0-23, minute 0-59 (datetime.c:386-396)
+            parsed[zone.index[has_off][(hh > 23) | (mm > 59)]] = pd.NaT
         out[ok] = (parsed - offs).astype("datetime64[us]")
     return out
 
