@@ -101,3 +101,33 @@ class TestStatefulRepeat:
         assert got[("c1", "B")] == 1
         assert got[("c1", "C")] == 0
         assert got[("c2", "X")] == 0
+
+
+class TestIdempotentReplay:
+    def test_batch_replay_overwrites_not_duplicates(
+        self, spark, stream_src, tmp_path
+    ):
+        """Crash-replay simulation (ADVICE r01): a re-run micro-batch
+        must OVERWRITE its own batch_id partitions, not append — delete
+        the checkpoint so the same files replay under the same batch
+        ids against already-written sinks."""
+        import shutil
+
+        base = str(tmp_path / "sinks")
+        ckpt = str(tmp_path / "ckpt")
+        stream = read_transcript_stream(spark, stream_src,
+                                        max_files_per_trigger=1)
+        stream_flagship(stream, base, ckpt)
+        first = spark.read.parquet(f"{base}/archive").count()
+        # replay: fresh checkpoint, SAME sink dir -> same batch ids
+        shutil.rmtree(ckpt)
+        stream2 = read_transcript_stream(spark, stream_src,
+                                         max_files_per_trigger=1)
+        stream_flagship(stream2, base, str(tmp_path / "ckpt2"))
+        assert spark.read.parquet(f"{base}/archive").count() == first
+        m = spark.read.parquet(f"{base}/metrics")
+        agg = {
+            r["sink"]: r["total"]
+            for r in m.groupBy("sink").agg(F.sum("n").alias("total")).collect()
+        }
+        assert agg["archive"] == first == 900
