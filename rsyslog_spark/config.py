@@ -326,8 +326,9 @@ class _Parser:
                 self.next()
                 _, name = self.next()
                 self.expect("=")
+                val, vkind = self.expr_v()
                 into.append(
-                    Set(name, rs_to_string(self.expr()),
+                    Set(name, self._vstr(val, vkind),
                         force_reset=(lword == "reset"))
                 )
                 self._flush_pre(into)
@@ -348,9 +349,9 @@ class _Parser:
                 return
             if lword == "call_indirect":
                 self.next()
-                e = self.expr()
+                e, ekind = self.expr_v()
                 self._flush_pre(into)
-                into.append(CallIndirect(rs_to_string(e)))
+                into.append(CallIndirect(self._vstr(e, ekind)))
                 if self.peek()[1] == ";":
                     self.next()
                 return
@@ -394,9 +395,22 @@ class _Parser:
     #   %left '+' '-' '&'
     #   %left '*' '/' '%'
     #   %nonassoc UMINUS NOT
-    # Every level returns (Column, is_stringish) so the mixed-type
-    # comparison dance keeps working through parens/concat/arith
-    # (ADVICE r01: parens must not change comparison semantics).
+    # Every level returns (Column, kind) with kind in {'s','n','b'}:
+    # 's' stringish (the mixed-type comparison dance applies), 'n'
+    # number, 'b' boolean. rsyslog has NO boolean type — comparisons
+    # yield number 0/1 (cnfexprEval 'N' results), so a boolean flowing
+    # into string context must render '1'/'0', NOT Spark's
+    # 'true'/'false' (kind 'b' exists exactly for that conversion).
+    # (ADVICE r01: parens must not change comparison semantics — kind
+    # flows THROUGH parens.)
+
+    @staticmethod
+    def _vstr(col: Column, kind: str) -> Column:
+        """Value -> string per var2String (rainerscript.c:1432-1456):
+        booleans are numbers in rsyslog, so render 1/0."""
+        if kind == "b":
+            return rs_to_string(col.cast("int"))
+        return rs_to_string(col)
 
     def expr(self) -> Column:
         col, _ = self.expr_v()
@@ -406,9 +420,12 @@ class _Parser:
         left, ls = self.cmp_expr()
         while self.peek()[1] in ("and", "or"):
             _, op = self.next()
-            right, _ = self.cmp_expr()
-            left = (left & right) if op == "and" else (left | right)
-            ls = False
+            right, rk = self.cmp_expr()
+            # rsyslog truthiness: operands through var2Number != 0
+            lb = left if ls == "b" else (rs_to_number(left) != 0)
+            rb = right if rk == "b" else (rs_to_number(right) != 0)
+            left = (lb & rb) if op == "and" else (lb | rb)
+            ls = "b"
         return left, ls
 
     _CMP = {"==", "!=", "<>", "<", "<=", ">", ">="}
@@ -427,7 +444,7 @@ class _Parser:
             else:
                 right, right_is_str = self.sum_expr()
                 left = self.compare(left, op, right, left_is_str, right_is_str)
-            left_is_str = False  # booleans compare numerically
+            left_is_str = "b"  # comparisons yield number 0/1
 
     def sum_expr(self) -> tuple[Column, bool]:
         """'+' '-' '&' — one precedence level, left-assoc
@@ -438,12 +455,12 @@ class _Parser:
             _, op = self.next()
             right, rs = self.prod_expr()
             if op == "&":
-                left = F.concat(rs_to_string(left), rs_to_string(right))
-                ls = True
+                left = F.concat(self._vstr(left, ls), self._vstr(right, rs))
+                ls = "s"
             else:
                 ln, rn = rs_to_number(left), rs_to_number(right)
                 left = (ln + rn) if op == "+" else (ln - rn)
-                ls = False
+                ls = "n"
         return left, ls
 
     def prod_expr(self) -> tuple[Column, bool]:
@@ -460,7 +477,7 @@ class _Parser:
                 left = rs_div(ln, rn)
             else:
                 left = rs_mod(ln, rn)
-            ls = False
+            ls = "n"
         return left, ls
 
     def unary_expr(self) -> tuple[Column, bool]:
@@ -470,13 +487,13 @@ class _Parser:
         if v == "-":
             self.next()
             operand, _ = self.unary_expr()
-            return -rs_to_number(operand), False
+            return -rs_to_number(operand), "n"
         if v == "not":
             self.next()
             operand, _ = self.unary_expr()
             # rsyslog truthiness: !var2Number(x) — rs_to_number maps
             # booleans 1/0 so this is uniform across operand kinds
-            return ~(rs_to_number(operand) != 0), False
+            return ~(rs_to_number(operand) != 0), "b"
         return self.primary()
 
     def array_literal(self) -> list[str]:
@@ -515,8 +532,8 @@ class _Parser:
         string side fully converts to a number and the other side is a
         number, compare numerically; else compare as strings."""
         if op in self._STR_OPS:
-            ls = rs_to_string(left)
-            rs = rs_to_string(right)
+            ls = self._vstr(left, l_str)
+            rs = self._vstr(right, r_str)
             if op == "contains":
                 return ls.contains(rs)
             if op == "contains_i":
@@ -525,11 +542,11 @@ class _Parser:
                 return ls.startswith(rs)
             return F.lower(ls).startswith(F.lower(rs))
         num_mode = (
-            (rs_is_number(left) if l_str else F.lit(True))
-            & (rs_is_number(right) if r_str else F.lit(True))
+            (rs_is_number(left) if l_str == "s" else F.lit(True))
+            & (rs_is_number(right) if r_str == "s" else F.lit(True))
         )
         ln, rn = rs_to_number(left), rs_to_number(right)
-        ls, rs = rs_to_string(left), rs_to_string(right)
+        ls, rs = self._vstr(left, l_str), self._vstr(right, r_str)
         ops = {
             "==": lambda a, b: a == b,
             "!=": lambda a, b: a != b,
@@ -552,11 +569,11 @@ class _Parser:
             # paren node at all — ADVICE r01 fix)
             return e, s
         if kind == "string":
-            return F.lit(_unquote(v)), True
+            return F.lit(_unquote(v)), "s"
         if kind == "number":
-            return F.lit(int(v)), False
+            return F.lit(int(v)), "n"
         if kind == "prop":
-            return self.prop_column(v), True
+            return self.prop_column(v), "s"
         if kind == "name" and self.peek()[1] == "(":
             return self.func_call(v)
         raise ValueError(f"unsupported expression token {v!r}")
@@ -597,7 +614,7 @@ class _Parser:
         if name == "script_error":
             self.expect("(")
             self.expect(")")
-            return self._script_err, False
+            return self._script_err, "n"
         if name == "exists":
             # exists($!x): property existence, NOT empty-string test
             # (grammar.y:222, msgCheckVarExists msg.h:234)
@@ -607,9 +624,9 @@ class _Parser:
             if ref.startswith(("$!", "$.")):
                 return (
                     F.map_contains_key(F.col("vars"), F.lit(ref[2:])),
-                    False,
+                    "b",
                 )
-            return resolve_property(ref[1:]).isNotNull(), False
+            return resolve_property(ref[1:]).isNotNull(), "b"
         if name == "prifilt":
             self.expect("(")
             _, sel = self.next()
@@ -620,7 +637,7 @@ class _Parser:
                     F.col("syslogfacility"),
                     F.col("syslogseverity"),
                 ),
-                False,
+                "b",
             )
         if name == "get_property":
             # doFunc_get_property (rainerscript.c:1834-1944): JSON-var
@@ -646,56 +663,59 @@ class _Parser:
                 )
                 val = F.coalesce(direct, via_json)
                 self._set_err(F.when(val.isNull(), 1).otherwise(0))
-                return F.coalesce(val, F.lit("")), True
+                return F.coalesce(val, F.lit("")), "s"
             # non-var source
             args = self.fparams_rest()
             (srcc, src_s, srclit) = args[0]
             if srclit is not None:
                 self._set_err(F.lit(1))  # literal source: EINVAL
-                return F.lit(""), True
+                return F.lit(""), "s"
             self._set_err(F.lit(0))
-            return rs_to_string(srcc), True
+            return rs_to_string(srcc), "s"
         p = self.fparams()
 
         def lit_or(i, default=None):
             return p[i][2] if i < len(p) and p[i][2] is not None else default
 
         c = [x[0] for x in p]
+        # string views of each arg, boolean-aware (var2String: booleans
+        # are numbers, render 1/0)
+        cs = [self._vstr(col, k) for col, k, _ in p]
         if name == "strlen":
-            return rf.rs_strlen(c[0]), False
+            return rf.rs_strlen(cs[0]), "n"
         if name == "getenv":
             # evaluated at config-load time (driver-side env; executors
             # may differ — the reference reads the daemon's env, same
             # single-process semantics)
             val = os.environ.get(str(lit_or(0, "")), "")
-            return F.lit(val), True
+            return F.lit(val), "s"
         if name == "num2ipv4":
-            return rf.rs_num2ipv4(rs_to_number(c[0])), True
+            return rf.rs_num2ipv4(rs_to_number(c[0])), "s"
         if name == "int2hex":
-            return rf.rs_int2hex(rs_to_number(c[0])), True
+            return rf.rs_int2hex(rs_to_number(c[0])), "s"
         if name == "substring":
-            return rf.rs_substring(rs_to_string(c[0]), c[1], c[2]), True
+            return rf.rs_substring(cs[0], c[1], c[2]), "s"
         if name == "ltrim":
-            return rf.rs_ltrim(rs_to_string(c[0])), True
+            return rf.rs_ltrim(cs[0]), "s"
         if name == "rtrim":
-            return rf.rs_rtrim(rs_to_string(c[0])), True
+            return rf.rs_rtrim(cs[0]), "s"
         if name == "tolower":
-            return rf.rs_tolower(rs_to_string(c[0])), True
+            return rf.rs_tolower(cs[0]), "s"
         if name == "cstr":
-            return rf.rs_cstr(c[0]), True
+            return cs[0], "s"
         if name == "cnum":
-            return rf.rs_cnum(c[0]), False
+            return rf.rs_cnum(c[0]), "n"
         if name in ("ip42num", "ipv42num"):
-            return rf.rs_ipv42num(rs_to_string(c[0])), False
+            return rf.rs_ipv42num(cs[0]), "n"
         if name in ("re_match", "re_match_i"):
             pat = lit_or(1)
             if pat is None:
                 raise ValueError("re_match pattern must be a literal "
                                  "(compiled at config time, initFunc_re_match)")
             return (
-                rf.rs_re_match(rs_to_string(c[0]), str(pat),
+                rf.rs_re_match(cs[0], str(pat),
                                case_insensitive=name.endswith("_i")),
-                False,
+                "b",
             )
         if name in ("re_extract", "re_extract_i"):
             pat = lit_or(1)
@@ -703,18 +723,18 @@ class _Parser:
                 raise ValueError("re_extract pattern must be a literal")
             return (
                 rf.rs_re_extract(
-                    rs_to_string(c[0]), str(pat),
+                    cs[0], str(pat),
                     int(lit_or(2, 0)), int(lit_or(3, 0)),
                     str(lit_or(4, "")),
                 ),
-                True,
+                "s",
             )
         if name == "field":
             delim = lit_or(1)
             # numeric delim = char code (doFunct_Field; field($msg,58,2)
             # splits on ':'), string delim used as-is
             d = chr(delim) if isinstance(delim, int) else str(delim)
-            return rf.rs_field(rs_to_string(c[0]), d, c[2]), True
+            return rf.rs_field(cs[0], d, c[2]), "s"
         if name == "exec_template":
             tname = str(lit_or(0, ""))
             tpl_text = self.cfg.templates.get(
@@ -722,43 +742,42 @@ class _Parser:
             )
             if tpl_text is None:
                 raise ValueError(f"unknown template {tname!r}")
-            return compile_template(tpl_text), True
+            return compile_template(tpl_text), "s"
         if name == "lookup":
             tname = str(lit_or(0, ""))
             tbl = self.cfg.lookups.get(tname)
             if tbl is None:
                 raise ValueError(f"unknown lookup table {tname!r} "
                                  "(declare lookup_table(name=.. file=..))")
-            return tbl.lookup_expr(rs_to_string(c[1])), True
+            return tbl.lookup_expr(cs[1]), "s"
         if name == "replace":
             if p[1][2] is not None and p[2][2] is not None:
                 return (
-                    rf.rs_replace(rs_to_string(c[0]), str(p[1][2]),
+                    rf.rs_replace(cs[0], str(p[1][2]),
                                   str(p[2][2])),
-                    True,
+                    "s",
                 )
             return (
-                F.replace(rs_to_string(c[0]), rs_to_string(c[1]),
-                          rs_to_string(c[2])),
-                True,
+                F.replace(cs[0], cs[1], cs[2]),
+                "s",
             )
         if name == "wrap":
             esc = str(p[2][2]) if len(p) > 2 and p[2][2] is not None else None
-            return rf.rs_wrap(rs_to_string(c[0]), str(lit_or(1, '"')), esc), True
+            return rf.rs_wrap(cs[0], str(lit_or(1, '"')), esc), "s"
         if name == "format_time":
             return (
                 rf.rs_format_time(rs_to_number(c[0]), str(lit_or(1, ""))),
-                True,
+                "s",
             )
         if name == "parse_time":
-            s = rs_to_string(c[0])
+            s = cs[0]
             self._set_err(F.when(rf.rs_is_time(s), 0).otherwise(1))
-            return rf.rs_parse_time(s), False
+            return rf.rs_parse_time(s), "n"
         if name == "is_time":
-            s = rs_to_string(c[0])
+            s = cs[0]
             ok = rf.rs_is_time(s)
             self._set_err(F.when(ok, 0).otherwise(1))
-            return ok.cast("int"), False
+            return ok.cast("int"), "n"
         if name == "parse_json":
             # doFunc_parse_json (rainerscript.c:1795-1820): parse arg0
             # into the container var arg1; returns 0/EINVAL and sets
@@ -767,14 +786,14 @@ class _Parser:
             # statement; nested access goes through get_property.
             container = str(lit_or(1, ""))
             key = container.lstrip("$!.").lstrip("!")
-            src = rs_to_string(c[0])
+            src = cs[0]
             valid = F.from_json(src, "map<string,string>").isNotNull()
             self._pre_stmts.append(
                 Set("$!" + key, F.when(valid, src), force_reset=True)
             )
             err = F.when(valid, 0).otherwise(1)
             self._set_err(err)
-            return err, False
+            return err, "n"
         raise AssertionError(name)
 
     def fparam_one(self):

@@ -287,3 +287,24 @@ class TestSubtreeTemplate:
         )
         out = d.select(subtree_template("$!x").alias("s")).first()["s"]
         assert out == '{"k":"v"}'
+
+
+class TestBooleanRendering:
+    def test_booleans_are_numbers(self, df):
+        # rsyslog has NO boolean type: comparisons yield number 0/1
+        # (cnfexprEval 'N'), so string context must render '1'/'0' —
+        # never Spark's 'true'/'false'
+        conf = """
+        ruleset(name="c") {
+            set $.a = (1 == 1) & "-" & (1 == 2);
+            set $.b = cstr(2 > 1);
+            set $.c = (1 == 1) + 5;
+            set $.d = re_match("abc", "b.") & "";
+        }
+        """
+        ann, _ = compile_config(df, conf, entry="c")
+        r = ann.filter(F.col("i") == 1).select("vars").first()["vars"]
+        assert r["a"] == "1-0"
+        assert r["b"] == "1"
+        assert r["c"] == "6"
+        assert r["d"] == "1"  # POSIX search: 'b.' matches 'bc' in 'abc'
