@@ -43,31 +43,61 @@ def exact_dedup_groups(df: DataFrame, text_col: str = "text",
 
 
 def shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-             k: int = 3, out: str = "sh") -> DataFrame:
+             k: int = 3, out: str = "sh", engine: str = "arrow") -> DataFrame:
     """Distinct word k-gram shingles, exploded: (id, sh).
 
-    The explode is the scale-relevant shape: every downstream op is a
-    groupBy/join on (id) or (sh) — plain shuffles, no row blowup beyond
-    tokens×1."""
-    toks = F.split(F.col(text_col), " ")
-    grams = F.transform(
-        F.sequence(F.lit(0), F.size(toks) - k),
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(toks, i + j + 1) for j in range(k)]
-        ),
-    )
-    # guard: Spark sequence(0, n) DESCENDS when n < 0 (doc shorter than
-    # k tokens) — emit no shingles instead
-    grams = F.when(F.size(toks) >= k, grams).otherwise(
-        F.array().cast("array<string>")
-    )
-    # dedupe AFTER the explode: array_distinct is O(len^2) per document
-    # (measured 3.5 s for 5k long docs); the DataFrame-level distinct is
-    # one hash shuffle the downstream groupBys need anyway
+    engine='arrow' (default): ONE mapInPandas pass builds each doc's
+    gram set locally — per-doc dedup needs NO shuffle at all (shingle
+    uniqueness is per document by definition), and the python loop
+    beats the Column-HOF formulation by ~4x (transform over sequence
+    with 3 element_at per gram is interpreted per element; measured
+    4.6 s -> ~1 s at sf0.1). engine='sql' keeps the pure-Column form
+    (used by tests as the differential reference).
+
+    Either way the output shape is the scale-relevant one: every
+    downstream op is a groupBy/join on (id) or (sh) — plain shuffles,
+    no row blowup beyond tokens x1."""
+    if engine == "sql":
+        toks = F.split(F.col(text_col), " ")
+        grams = F.transform(
+            F.sequence(F.lit(0), F.size(toks) - k),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + j + 1) for j in range(k)]
+            ),
+        )
+        # guard: Spark sequence(0, n) DESCENDS when n < 0 (doc shorter
+        # than k tokens) — emit no shingles instead
+        grams = F.when(F.size(toks) >= k, grams).otherwise(
+            F.array().cast("array<string>")
+        )
+        # dedupe AFTER the explode: array_distinct is O(len^2) per doc
+        return df.select(
+            F.col(id_col).alias("id"),
+            F.explode(grams).alias(out),
+        ).distinct()
+
+    import pandas as pd
+
+    id_type = df.schema[id_col].dataType.simpleString()
+
+    def _gen(pdfs):
+        for pdf in pdfs:
+            ids: list = []
+            shs: list = []
+            for i, t in zip(pdf[id_col], pdf[text_col]):
+                toks = (t or "").split(" ")
+                seen = set()
+                for j in range(len(toks) - k + 1):
+                    g = " ".join(toks[j:j + k])
+                    if g not in seen:
+                        seen.add(g)
+                        ids.append(i)
+                        shs.append(g)
+            yield pd.DataFrame({"id": ids, out: shs})
+
     return df.select(
-        F.col(id_col).alias("id"),
-        F.explode(grams).alias(out),
-    ).distinct()
+        F.col(id_col), F.col(text_col)
+    ).mapInPandas(_gen, f"id {id_type}, {out} string")
 
 
 def minhash_signatures(

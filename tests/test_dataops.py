@@ -174,3 +174,15 @@ class TestMultimodal:
         assert list(f0["features"]) == list(f1["features"])
         assert len(f0["features"]) == 8
         assert all(0 <= v <= 1 for v in f0["features"])
+
+
+class TestShingleEngines:
+    def test_arrow_matches_sql(self, docs):
+        a = dedup.shingles(docs)
+        b = dedup.shingles(docs, engine="sql")
+        assert a.exceptAll(b).count() == 0
+        assert b.exceptAll(a).count() == 0
+
+    def test_short_docs_no_grams(self, spark):
+        df = spark.createDataFrame([(1, "one two")], "doc_id long, text string")
+        assert dedup.shingles(df, k=3).count() == 0
