@@ -143,3 +143,41 @@ class TestDynstatsCycles:
         a = {r["window_start"].timestamp(): r["count"]
              for r in out.filter("key = 'a'").collect()}
         assert a == {0.0: 3, 3600.0: 6}  # no purge: keeps counting
+
+
+class TestKafkaTransform:
+    def test_records_to_messages_and_parse(self, spark):
+        import zlib
+
+        from rsyslog_spark.sources.kafka import (
+            KAFKA_SCHEMA,
+            kafka_records_to_messages,
+        )
+
+        rows = [
+            (None, b"<13>Jan  5 10:00:00 h app[1]: msgnum:1", "t", 0, 0,
+             "2024-01-05 10:00:00", 0),
+            (None, b"z" + zlib.compress(b"<14>compressed record"), "t", 0,
+             1, "2024-01-05 10:00:01", 0),
+            (None, b"plain", "t", 1, 0, "2024-01-05 10:00:02", 0),
+        ]
+        rec = spark.createDataFrame(
+            rows,
+            "key binary, value binary, topic string, partition int, "
+            "offset long, ts_s string, timestampType int",
+        ).select(
+            "key", "value", "topic", "partition", "offset",
+            F.col("ts_s").cast("timestamp").alias("timestamp"),
+            "timestampType",
+        )
+        msgs = kafka_records_to_messages(rec, uncompress=True)
+        got = {(r["conv_id"], r["turn_idx"]): r["text"]
+               for r in msgs.collect()}
+        assert got[("t/0", 0)].startswith("<13>Jan")
+        assert got[("t/0", 1)] == "<14>compressed record"
+        assert got[("t/1", 0)] == "plain"
+        # feeds the normal front door end-to-end
+        p = with_parsed(msgs)
+        pri = {(r["conv_id"], r["turn_idx"]): r["pri"] for r in p.collect()}
+        assert pri[("t/0", 1)] == 14
+        assert KAFKA_SCHEMA.startswith("key binary")
