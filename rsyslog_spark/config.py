@@ -181,6 +181,12 @@ class _Parser:
         # script_error() channel (wtiGetScriptErrno analog): per-row
         # error state as of the current parse position
         self._script_err: Column = F.lit(0)
+        # enclosing if/else path predicates: a fallible call inside a
+        # branch only updates the error channel for rows that actually
+        # take that branch (runtime-sequential wtiSetScriptErrno —
+        # ADVICE r02 fix; foreach bodies remain straight-line-only and
+        # are documented as such)
+        self._path_stack: list[Column] = []
         # side-effect statements produced while parsing an expression
         # (parse_json writes its container var): flushed into the
         # statement list JUST BEFORE the statement whose expression
@@ -290,17 +296,25 @@ class _Parser:
                 return
             if lword == "if":
                 self.next()
-                cond = self.expr()
+                cond, ck = self.expr_v()
                 self._flush_pre(into)
                 _, t = self.next()
                 if t != "then":
                     raise ValueError(f"expected 'then', got {t!r}")
                 then: list = []
                 els: list = []
+                # rsyslog truthiness gate for the script_error channel;
+                # the condition itself evaluated UNGATED above (the
+                # reference evaluates it at this point on every path)
+                gate = cond if ck == "b" else (self._vnum(cond, ck) != 0)
+                self._path_stack.append(gate)
                 self.block(then)
+                self._path_stack.pop()
                 if self.peek()[1] == "else":
                     self.next()
+                    self._path_stack.append(~gate)
                     self.block(els)
+                    self._path_stack.pop()
                 into.append(If(cond, then, els))
                 return
             if lword == "foreach":
@@ -412,6 +426,16 @@ class _Parser:
             return rs_to_string(col.cast("int"))
         return rs_to_string(col)
 
+    @staticmethod
+    def _vnum(col: Column, kind: str) -> Column:
+        """Value -> number per var2Number: engine booleans become 1/0
+        HERE (kind-tracked — the generic string coercion must never see
+        a Spark boolean, so a string whose content is 'true' correctly
+        coerces to 0, ADVICE r02)."""
+        if kind == "b":
+            return col.cast("int").cast("long")
+        return rs_to_number(col)
+
     def expr(self) -> Column:
         col, _ = self.expr_v()
         return col
@@ -422,8 +446,8 @@ class _Parser:
             _, op = self.next()
             right, rk = self.cmp_expr()
             # rsyslog truthiness: operands through var2Number != 0
-            lb = left if ls == "b" else (rs_to_number(left) != 0)
-            rb = right if rk == "b" else (rs_to_number(right) != 0)
+            lb = left if ls == "b" else (self._vnum(left, ls) != 0)
+            rb = right if rk == "b" else (self._vnum(right, rk) != 0)
             left = (lb & rb) if op == "and" else (lb | rb)
             ls = "b"
         return left, ls
@@ -458,7 +482,7 @@ class _Parser:
                 left = F.concat(self._vstr(left, ls), self._vstr(right, rs))
                 ls = "s"
             else:
-                ln, rn = rs_to_number(left), rs_to_number(right)
+                ln, rn = self._vnum(left, ls), self._vnum(right, rs)
                 left = (ln + rn) if op == "+" else (ln - rn)
                 ls = "n"
         return left, ls
@@ -469,8 +493,8 @@ class _Parser:
         left, ls = self.unary_expr()
         while self.peek()[1] in ("*", "/", "%"):
             _, op = self.next()
-            right, _ = self.unary_expr()
-            ln, rn = rs_to_number(left), rs_to_number(right)
+            right, rk = self.unary_expr()
+            ln, rn = self._vnum(left, ls), self._vnum(right, rk)
             if op == "*":
                 left = ln * rn
             elif op == "/":
@@ -486,14 +510,14 @@ class _Parser:
         kind, v = self.peek()
         if v == "-":
             self.next()
-            operand, _ = self.unary_expr()
-            return -rs_to_number(operand), "n"
+            operand, k = self.unary_expr()
+            return -self._vnum(operand, k), "n"
         if v == "not":
             self.next()
-            operand, _ = self.unary_expr()
-            # rsyslog truthiness: !var2Number(x) — rs_to_number maps
-            # booleans 1/0 so this is uniform across operand kinds
-            return ~(rs_to_number(operand) != 0), "b"
+            operand, k = self.unary_expr()
+            # rsyslog truthiness: !var2Number(x); kind-aware so engine
+            # booleans become 1/0 before the generic coercion
+            return ~(self._vnum(operand, k) != 0), "b"
         return self.primary()
 
     def array_literal(self) -> list[str]:
@@ -545,7 +569,7 @@ class _Parser:
             (rs_is_number(left) if l_str == "s" else F.lit(True))
             & (rs_is_number(right) if r_str == "s" else F.lit(True))
         )
-        ln, rn = rs_to_number(left), rs_to_number(right)
+        ln, rn = self._vnum(left, l_str), self._vnum(right, r_str)
         ls, rs = self._vstr(left, l_str), self._vstr(right, r_str)
         ops = {
             "==": lambda a, b: a == b,
@@ -600,7 +624,14 @@ class _Parser:
         return out
 
     def _set_err(self, err: Column):
-        self._script_err = err.cast("int")
+        e = err.cast("int")
+        if self._path_stack:
+            gate = self._path_stack[0]
+            for g in self._path_stack[1:]:
+                gate = gate & g
+            # rows on the other branch keep their previous errno
+            e = F.when(gate, e).otherwise(self._script_err)
+        self._script_err = e
 
     def func_call(self, name: str) -> tuple[Column, bool]:
         """Function registry (rainerscript.c:3730-3763). Fallible calls
@@ -690,9 +721,9 @@ class _Parser:
             val = os.environ.get(str(lit_or(0, "")), "")
             return F.lit(val), "s"
         if name == "num2ipv4":
-            return rf.rs_num2ipv4(rs_to_number(c[0])), "s"
+            return rf.rs_num2ipv4(self._vnum(c[0], p[0][1])), "s"
         if name == "int2hex":
-            return rf.rs_int2hex(rs_to_number(c[0])), "s"
+            return rf.rs_int2hex(self._vnum(c[0], p[0][1])), "s"
         if name == "substring":
             return rf.rs_substring(cs[0], c[1], c[2]), "s"
         if name == "ltrim":
@@ -704,7 +735,7 @@ class _Parser:
         if name == "cstr":
             return cs[0], "s"
         if name == "cnum":
-            return rf.rs_cnum(c[0]), "n"
+            return self._vnum(c[0], p[0][1]), "n"
         if name in ("ip42num", "ipv42num"):
             return rf.rs_ipv42num(cs[0]), "n"
         if name in ("re_match", "re_match_i"):
@@ -766,7 +797,7 @@ class _Parser:
             return rf.rs_wrap(cs[0], str(lit_or(1, '"')), esc), "s"
         if name == "format_time":
             return (
-                rf.rs_format_time(rs_to_number(c[0]), str(lit_or(1, ""))),
+                rf.rs_format_time(self._vnum(c[0], p[0][1]), str(lit_or(1, ""))),
                 "s",
             )
         if name == "parse_time":
@@ -818,7 +849,15 @@ class _Parser:
         if ref.startswith("$!") or ref.startswith("$."):
             key = ref[2:]
             return F.element_at(F.col("vars"), F.lit(key))
-        return resolve_property(ref[1:])
+        name = ref[1:]
+        # Boolean-typed engine columns become 0/1 at the expression
+        # boundary (bParseSuccess is an int flag in the reference,
+        # msg.h:67) so the generic var2Number/var2String coercions never
+        # see a Spark boolean — and a string var whose content happens
+        # to be 'true' keeps its reference semantics (coerces to 0).
+        if name.lower() in ("parsesuccess", "parse_success"):
+            return resolve_property(name).cast("int")
+        return resolve_property(name)
 
 
 _LEGACY_SELECTOR = re.compile(

@@ -141,7 +141,13 @@ def sign_lsh_buckets(
     Bit j = sign of <quantized(v), rademacher_plane(table, j)> — a
     proper random-hyperplane family (replaces the r01 axis-aligned
     projections, whose bits were correlated through the coordinate
-    distribution and hurt recall)."""
+    distribution and hurt recall).
+
+    REFERENCE FORMULATION ONLY (not on the query surface): the Column
+    higher-order functions are interpreted per element and measured
+    ~10x slower than ``lsh_bucket_table``'s single numpy matmul, which
+    computes the identical grouping. Retained as the engine-independent
+    spec the tests compare the fast path against."""
     q = _quantized(vec_col)
     bits = []
     for j in range(n_bits):
@@ -167,6 +173,7 @@ def lsh_bucket_table(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,
+    keep: tuple = (),
 ) -> DataFrame:
     """(id, tbl, bucket): one integer bucket id per hash table
     (OR-banding). n_tables independent tables boost recall exactly like
@@ -196,16 +203,20 @@ def lsh_bucket_table(
             [np.asarray(v, dtype=np.float64) for v in vecs], dtype=np.float64
         )
         q = np.floor(m * 1000.0 + 0.5).astype(np.int64)
-        bits = (q @ W.T) >= 0  # (n, n_tables*n_bits) — exact int64
+        # planes sliced to the actual vector length (same rule as
+        # sign_lsh_buckets' F.slice — shorter vectors just use the
+        # leading plane coordinates)
+        bits = (q @ W[:, : q.shape[1]].T) >= 0  # exact int64
         ids = (
             bits.reshape(len(q), n_tables, n_bits).astype(np.int64) * pow2
         ).sum(axis=2)
         return pd.Series(list(ids))
 
+    cols = [id_col, *keep]
     return df.select(
-        id_col, _buckets(F.col(vec_col)).alias("_bk")
+        *cols, _buckets(F.col(vec_col)).alias("_bk")
     ).select(
-        id_col, F.posexplode("_bk").alias("tbl", "bucket")
+        *cols, F.posexplode("_bk").alias("tbl", "bucket")
     )
 
 
@@ -261,14 +272,21 @@ def topk_lsh(
     n_bits: int = 6,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int = 64,
 ) -> DataFrame:
     """Approximate top-k: candidates share the sign-LSH bucket.
 
     The bucket equi-join replaces the all-pairs product — this is the
     shape that survives 10^9 vectors (bucket sizes ~n/2^bits; skewed
-    buckets split by AQE)."""
-    cb = sign_lsh_buckets(corpus, n_bits, id_col, vec_col)
-    qb = sign_lsh_buckets(queries, n_bits, id_col, vec_col)
+    buckets split by AQE).  Buckets come from the same ONE-matmul
+    Arrow path as ``neardup_lsh`` (n_tables=1): the interpreted
+    Column-HOF formulation (``sign_lsh_buckets``) computes identical
+    groupings but was measured ~10x slower at 5k x 128 projections
+    (PERF.md) and is kept only as the cross-engine reference."""
+    cb = lsh_bucket_table(corpus, 1, n_bits, id_col, vec_col, dim,
+                          keep=(vec_col,))
+    qb = lsh_bucket_table(queries, 1, n_bits, id_col, vec_col, dim,
+                          keep=(vec_col,))
     q = qb.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv"),
                   "bucket")
     c = cb.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("nv"),

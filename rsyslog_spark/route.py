@@ -203,6 +203,52 @@ def _var_key(name: str) -> str:
     return name[2:] if name.startswith(("$!", "$.", "$/")) else name
 
 
+def _check_foreach_body(
+    stmts: list,
+    loop_vars: str | set,
+    rulesets: dict,
+    _seen: frozenset = frozenset(),
+) -> None:
+    """Reject foreach bodies whose effects cannot survive the exploded
+    plane: Set/Unset of anything but a loop variable (or its subkeys),
+    and Stop.  execForeach mutates the real message (ruleset.c:392-418);
+    this engine's loop body is a branched frame whose var mutations and
+    stop state are discarded after the loop, so such configs must be
+    rejected rather than silently diverge."""
+    if isinstance(loop_vars, str):
+        loop_vars = {loop_vars}
+    keys = {_var_key(v) for v in loop_vars}
+    for st in stmts:
+        if isinstance(st, (Set, Unset)):
+            k = _var_key(st.name)
+            if not any(k == key or k.startswith(key + "!") for key in keys):
+                raise ValueError(
+                    f"foreach body sets {st.name!r}: only the loop "
+                    f"variable(s) {sorted(loop_vars)} may be assigned "
+                    "inside foreach (non-loop var mutations do not "
+                    "persist past the loop in this engine)"
+                )
+        elif isinstance(st, Stop):
+            raise ValueError(
+                "'stop' inside a foreach body cannot stop the message "
+                "in this engine (the loop runs on a branched exploded "
+                "frame); restructure as an if around the loop"
+            )
+        elif isinstance(st, (If, PriFilt, PropFilt)):
+            _check_foreach_body(st.then, loop_vars, rulesets, _seen)
+            _check_foreach_body(st.els, loop_vars, rulesets, _seen)
+        elif isinstance(st, Foreach):
+            _check_foreach_body(
+                st.body, loop_vars | {st.var}, rulesets, _seen
+            )
+        elif isinstance(st, Call) and st.ruleset not in _seen:
+            target = rulesets.get(st.ruleset)
+            if target is not None and not st.queued:
+                _check_foreach_body(
+                    target.stmts, loop_vars, rulesets, _seen | {st.ruleset}
+                )
+
+
 def _has_mutation(stmts: list) -> bool:
     for st in stmts:
         if isinstance(st, (Set, Unset, Foreach)):
@@ -415,8 +461,16 @@ class RouteCompiler:
         the exploded frame, sink writes are per-element rows. The
         exploded frame branches off the CURRENT annotated state, so the
         caller's vars as of the loop are visible inside the body.
+
+        DIVERGENCE (checked loudly): the body runs on the exploded
+        plane and its frame is discarded after the loop, so a Set/Unset
+        of a NON-loop var would not persist past the loop and a Stop
+        would not stop the message — unlike execForeach, which mutates
+        the real message. Configs relying on those reference semantics
+        must fail at compile time, not silently differ (ADVICE r02).
         """
         key = _var_key(st.var)
+        _check_foreach_body(st.body, st.var, self.rulesets)
         col = st.collection
         if st.mode == "array":
             items = F.transform(
@@ -466,10 +520,15 @@ class RouteCompiler:
         ).otherwise(F.col("_fe_item.value"))
         # bind the loop variable into the vars map so every existing
         # resolver ($.VAR via element_at) works unchanged in the body
+        # Remove ONLY the loop variable's own binding keys before
+        # rebinding (execForeach overwrites just the iterator variable,
+        # ruleset.c:400-413); a bare prefix match would also strip
+        # unrelated vars that merely share the prefix (e.g. loop var
+        # "$.e" vs caller var "$.env").
         binding = F.map_concat(
             F.map_filter(
                 F.col(self._vars_col),
-                lambda k, _: ~k.startswith(key),
+                lambda k, _: ~((k == key) | k.startswith(key + "!")),
             ),
             F.map_from_arrays(
                 F.array(F.lit(key), F.lit(key + "!key"), F.lit(key + "!value")),

@@ -47,7 +47,11 @@ def kafka_records_to_messages(
     base = records.select(
         F.concat_ws("/", "topic", F.col("partition").cast("string"))
         .alias("conv_id"),
-        F.col("offset").cast("int").alias("turn_idx"),
+        # Kafka offsets routinely exceed 2^31 on production topics; an
+        # int cast would throw CAST_OVERFLOW under ANSI mode.  turn_idx
+        # stays long here — downstream only ever orders/compares it, so
+        # the wider type is a safe superset of the transcript contract.
+        F.col("offset").cast("long").alias("turn_idx"),
         F.lit("system").alias("role"),
         F.col("value").alias("_raw"),
         F.lit("").alias("tool"),

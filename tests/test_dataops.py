@@ -121,6 +121,26 @@ class TestSimilarity:
         assert all(r["nid"] != 3 for r in out)
 
 
+    def test_lsh_topk_matches_reference_buckets(self, vecs):
+        # topk_lsh now computes buckets via the one-matmul Arrow path;
+        # sign_lsh_buckets is the engine-independent reference spec —
+        # the two must induce the SAME bucket partition of the corpus
+        ref = {
+            r["vec_id"]: r["bucket"]
+            for r in similarity.sign_lsh_buckets(
+                vecs, n_bits=2, dim=3
+            ).select("vec_id", "bucket").collect()
+        }
+        fast = {
+            r["vec_id"]: r["bucket"]
+            for r in similarity.lsh_bucket_table(
+                vecs, n_tables=1, n_bits=2, dim=3
+            ).select("vec_id", "bucket").collect()
+        }
+        # bitstring '10' == integer 0b10: same packing order
+        assert {k: int(v, 2) for k, v in ref.items()} == fast
+
+
 class TestTextstats:
     def test_lang_id_pred(self, spark):
         df = spark.createDataFrame(

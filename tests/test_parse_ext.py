@@ -181,3 +181,22 @@ class TestKafkaTransform:
         pri = {(r["conv_id"], r["turn_idx"]): r["pri"] for r in p.collect()}
         assert pri[("t/0", 1)] == 14
         assert KAFKA_SCHEMA.startswith("key binary")
+
+
+    def test_offsets_beyond_int32(self, spark):
+        # production Kafka offsets routinely exceed 2^31; turn_idx must
+        # stay long (an int cast throws CAST_OVERFLOW under ANSI mode)
+        from rsyslog_spark.sources.kafka import kafka_records_to_messages
+
+        big = 2**31 + 5
+        rec = spark.createDataFrame(
+            [(None, b"m", "t", 0, big, "2024-01-05 10:00:00", 0)],
+            "key binary, value binary, topic string, partition int, "
+            "offset long, ts_s string, timestampType int",
+        ).select(
+            "key", "value", "topic", "partition", "offset",
+            F.col("ts_s").cast("timestamp").alias("timestamp"),
+            "timestampType",
+        )
+        out = kafka_records_to_messages(rec).collect()
+        assert out[0]["turn_idx"] == big

@@ -308,3 +308,104 @@ class TestBooleanRendering:
         assert r["b"] == "1"
         assert r["c"] == "6"
         assert r["d"] == "1"  # POSIX search: 'b.' matches 'bc' in 'abc'
+
+
+class TestAdviceR02Fixes:
+    def test_foreach_keeps_prefix_sharing_vars(self, spark):
+        # loop var '$.e' must not shadow/delete the unrelated caller var
+        # 'env' (shares the bare prefix 'e') — execForeach overwrites
+        # only the iterator variable itself (ruleset.c:400-413)
+        d = spark.createDataFrame(
+            [(1, '["a","b"]')], "i int, payload string"
+        ).withColumn(
+            "vars", F.create_map(F.lit("env"), F.lit("prod"))
+        )
+        rc = RouteCompiler().add(Ruleset("fe", [
+            Foreach("$.e", F.col("payload"), mode="auto", body=[
+                Action("out", F.concat(
+                    F.coalesce(F.element_at(F.col("vars"), "env"),
+                               F.lit("<null>")),
+                    F.lit(":"),
+                    F.element_at(F.col("vars"), "e!value"),
+                )),
+            ]),
+        ]))
+        ann, actions = rc.compile(d, "fe")
+        a = actions[0]
+        rows = sorted(
+            r[a.out_col]
+            for r in a.output(ann).select(a.out_col).collect()
+        )
+        assert rows == ["prod:a", "prod:b"]
+
+    def test_foreach_rejects_nonloop_set_and_stop(self, spark):
+        d = spark.createDataFrame([(1, '["a"]')], "i int, payload string")
+        rc = RouteCompiler().add(Ruleset("bad_set", [
+            Foreach("$.e", F.col("payload"), mode="auto", body=[
+                Set("$.other", F.lit("x")),
+            ]),
+        ])).add(Ruleset("bad_stop", [
+            Foreach("$.e", F.col("payload"), mode="auto", body=[
+                Stop(),
+            ]),
+        ])).add(Ruleset("ok_nested", [
+            Foreach("$.q", F.col("payload"), mode="auto", body=[
+                Foreach("$.c", F.element_at(F.col("vars"), "q!value"),
+                        mode="auto", body=[
+                    Set("$.c", F.lit("x")),  # inner loop var: allowed
+                ]),
+            ]),
+        ]))
+        with pytest.raises(ValueError, match="foreach body sets"):
+            rc.compile(d, "bad_set")
+        with pytest.raises(ValueError, match="stop.*foreach"):
+            rc.compile(d, "bad_stop")
+        rc.compile(d.withColumn("vars", F.create_map().cast(
+            "map<string,string>")), "ok_nested")  # must not raise
+
+    def test_script_error_gated_by_branch(self, df):
+        # a fallible call inside a branch must update script_error()
+        # only for rows that took the branch (wtiSetScriptErrno is
+        # runtime-sequential) — rows on the other path keep their errno
+        conf = """
+        ruleset(name="c") {
+            set $.t0 = parse_time("2011-03-01T11:22:12Z");
+            set $.e0 = script_error();
+            if $cls == "high" then {
+                set $.pt = parse_time("not a time");
+            } else {
+                set $.x = "1";
+            }
+            set $.e1 = script_error();
+        }
+        """
+        ann, _ = compile_config(df, conf, entry="c")
+        rows = {r["i"]: r["vars"] for r in ann.select("i", "vars").collect()}
+        # everyone starts clean
+        assert all(v["e0"] == "0" for v in rows.values())
+        # row 1 (cls=high): branch taken -> parse_time EINVAL
+        assert rows[1]["e1"] == "1"
+        # rows on the else path keep errno 0
+        assert rows[2]["e1"] == "0"
+        assert rows[3]["e1"] == "0"
+        assert rows[4]["e1"] == "0"
+
+    def test_string_true_is_not_numeric(self, spark):
+        # reference var2Number('true') == 0: '$!x + 1' is 1, and
+        # '$!x < 5' compares as STRINGS ('true' < '5' is false);
+        # $parsesuccess still coerces 1/0 (cast at the property boundary)
+        d = spark.createDataFrame([(1,)], "i int").withColumn(
+            "vars", F.create_map(F.lit("x"), F.lit("true"))
+        ).withColumn("parse_success", F.lit(True))
+        conf = """
+        ruleset(name="c") {
+            set $.plus = $!x + 1;
+            set $.cmp = ($!x < 5) & "";
+            set $.ps = $parsesuccess + 1;
+        }
+        """
+        ann, _ = compile_config(d, conf, entry="c")
+        r = ann.select("vars").first()["vars"]
+        assert r["plus"] == "1"
+        assert r["cmp"] == "0"
+        assert r["ps"] == "2"
