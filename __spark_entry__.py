@@ -228,23 +228,24 @@ def q_repeat_runs_role(spark, sf_dir):
     return out.select("conv_id", "turn_idx", "role", "repeat_count")
 
 
-def q_rate_limit(spark, sf_dir):
-    out = W.rate_limit(
-        _transcripts(spark, sf_dir), interval_s=60, burst=5
+def q_sampling_gates(spark, sf_dir):
+    """Four rate/sampling operators in one driver row (consolidated so
+    every facet fits the driver's 50-query window — r02 VERDICT #1):
+    ratelimit interval+burst (ratelimit.c:145-205), its severity bypass
+    (ratelimit.c:253-255,397-399), execOnlyEveryNthTime
+    (action.c:1865-1885), execOnlyOnceEveryInterval (action.c:1892-97).
+    Each op appends its own keep flag on the SAME frame — per-row
+    verification of all four at once."""
+    p = _parsed(spark, sf_dir)
+    out = W.rate_limit(p, interval_s=60, burst=5)
+    out = W.rate_limit(out, interval_s=60, burst=3, severity=4,
+                       keep_col="rl_sev_keep")
+    out = W.exec_only_every_nth(out, n=3)
+    out = W.exec_only_once_every_interval(out, interval_s=600)
+    return out.select(
+        "conv_id", "turn_idx", "rl_keep", "rl_sev_keep",
+        "nth_keep", "once_keep",
     )
-    return out.select("conv_id", "turn_idx", "rl_keep")
-
-
-def q_every_nth(spark, sf_dir):
-    out = W.exec_only_every_nth(_transcripts(spark, sf_dir), n=3)
-    return out.select("conv_id", "turn_idx", "nth_keep")
-
-
-def q_once_per_interval(spark, sf_dir):
-    out = W.exec_only_once_every_interval(
-        _transcripts(spark, sf_dir), interval_s=600
-    )
-    return out.select("conv_id", "turn_idx", "once_keep")
 
 
 def q_mm_jsonparse(spark, sf_dir):
@@ -259,17 +260,17 @@ def q_mm_jsonparse(spark, sf_dir):
 
 
 def q_mm_fields(spark, sf_dir):
-    out = mods.mm_fields(_ok(spark, sf_dir), sep=":")
+    """mmfields splitting + mmrm1stspace in one row (consolidated):
+    fields computed from the ORIGINAL msg, then the leading-space strip
+    applied — both per-row, zero extra shuffle."""
+    out = mods.mm_rm1stspace(mods.mm_fields(_ok(spark, sf_dir), sep=":"))
     return out.select(
         "i",
         F.element_at("fields", "f1").alias("f1"),
         F.element_at("fields", "f2").alias("f2"),
         F.size("fields").cast("long").alias("nf"),
+        "msg",
     )
-
-
-def q_mm_rm1stspace(spark, sf_dir):
-    return mods.mm_rm1stspace(_ok(spark, sf_dir)).select("i", "msg")
 
 
 def q_mm_pstrucdata(spark, sf_dir):
@@ -283,17 +284,39 @@ def q_mm_pstrucdata(spark, sf_dir):
 
 
 def q_rs_functions(spark, sf_dir):
+    """The whole scalar-function registry in one driver row
+    (rainerscript.c:3730-3763; consolidates the former rs_functions +
+    rs_functions2 pair — all per-row Column expressions, one scan)."""
+    from rsyslog_spark.functions import (
+        rs_format_time,
+        rs_ipv42num,
+        rs_is_time,
+        rs_parse_time,
+        rs_replace,
+        rs_strlen,
+    )
+
     p = _ok(spark, sf_dir)
+    ip = rs_num2ipv4((F.col("i") * 9973) % 4294967296)
     return p.select(
         "i",
         rs_field(F.col("msg"), ":", 2).alias("fld"),
         rs_re_extract(F.col("msg"), "msgnum:([0-9]+)", 0, 1, "none").alias("ext"),
         rs_tolower(F.col("hostname")).alias("low"),
         rs_int2hex(F.col("i")).alias("hx"),
-        rs_num2ipv4((F.col("i") * 9973) % 4294967296).alias("ip"),
+        ip.alias("ip"),
         rs_div(F.col("i"), F.col("i") % 5).alias("dv"),
         rs_substring(F.col("msg"), 1, 6).alias("sub"),
         rs_wrap(F.col("programname"), '"').alias("wrapped"),
+        rs_parse_time(F.col("timestamp_text")).alias("pt"),
+        rs_is_time(F.col("timestamp_text")).alias("ist"),
+        rs_format_time(F.col("i") * 1000 + 7, "date-rfc3164").alias("ft64"),
+        rs_format_time(F.col("i") * 1000 + 7, "date-rfc3339").alias("ft39"),
+        rs_strlen(F.col("msg")).alias("sl"),
+        rs_replace(F.col("msg"), "the", "THE").alias("rep"),
+        rs_wrap(F.col("msg"), '"', "#").alias("w3"),
+        rs_ipv42num(ip).alias("ipn"),
+        rs_ipv42num(F.col("hostname")).alias("ipbad"),
     )
 
 
@@ -352,38 +375,12 @@ def q_template_options(spark, sf_dir):
     )
 
 
-def q_rs_functions2(spark, sf_dir):
-    from rsyslog_spark.functions import (
-        rs_format_time,
-        rs_ipv42num,
-        rs_is_time,
-        rs_parse_time,
-        rs_replace,
-        rs_strlen,
-    )
-
-    p = _ok(spark, sf_dir)
-    ip = rs_num2ipv4((F.col("i") * 9973) % 4294967296)
-    return p.select(
-        "i",
-        rs_parse_time(F.col("timestamp_text")).alias("pt"),
-        rs_is_time(F.col("timestamp_text")).alias("ist"),
-        rs_format_time(
-            F.col("i") * 1000 + 7, "date-rfc3164"
-        ).alias("ft64"),
-        rs_format_time(
-            F.col("i") * 1000 + 7, "date-rfc3339"
-        ).alias("ft39"),
-        rs_strlen(F.col("msg")).alias("sl"),
-        rs_replace(F.col("msg"), "the", "THE").alias("rep"),
-        rs_wrap(F.col("msg"), '"', "#").alias("w3"),
-        rs_ipv42num(ip).alias("ipn"),
-        rs_ipv42num(F.col("hostname")).alias("ipbad"),
-    )
-
-
-def q_mm_anon(spark, sf_dir):
-    p = _ok(spark, sf_dir).withColumn(
+def q_mm_rewrite(spark, sf_dir):
+    """mmanon IP anonymization + mmnormalize field extraction in one
+    driver row (consolidated). Computed on independent copies of the
+    frame (mmanon's masking would otherwise change what mmnormalize
+    sees) and joined back per row on i."""
+    anon_in = _ok(spark, sf_dir).withColumn(
         "msg",
         F.concat(
             F.lit("src="),
@@ -392,22 +389,21 @@ def q_mm_anon(spark, sf_dir):
             F.col("msg"),
         ),
     )
-    return mods.mm_anon(p, bits=16).select("i", "msg")
-
-
-def q_mm_normalize(spark, sf_dir):
-    out = mods.mm_normalize(
+    anon = mods.mm_anon(anon_in, bits=16).select(
+        "i", F.col("msg").alias("anon_msg")
+    )
+    norm = mods.mm_normalize(
         _ok(spark, sf_dir),
         rules=[
             ("msgnum", "msgnum:([0-9]+)", 1),
             ("first_word", "^ ?([a-z]+)", 1),
         ],
-    )
-    return out.select(
+    ).select(
         "i",
         F.element_at("norm", "msgnum").alias("msgnum"),
         F.element_at("norm", "first_word").alias("first_word"),
     )
+    return anon.join(norm, on="i")
 
 
 def q_dyn_inc_capped(spark, sf_dir):
@@ -555,26 +551,27 @@ def q_pm_lastmsg(spark, sf_dir):
     )
 
 
-def q_dyn_inc_reset(spark, sf_dir):
-    """dynstats resettable bucket (dynstats.c:36-38,489 CTR_FLAG_MUST_
-    RESET; tests/dynstats_reset.sh): counters zero at each emission
-    interval — per-window counts."""
-    return A.dyn_inc_windowed(
-        _transcripts(spark, sf_dir), "roles", "role",
-        ts_col="ts", interval_s=600, resettable=True,
+def q_dyn_inc_cycles(spark, sf_dir):
+    """dynstats bucket lifecycle in one driver row (consolidated):
+    resettable counters (dynstats.c:36-38,489 CTR_FLAG_MUST_RESET;
+    tests/dynstats_reset.sh) as the 'roles' bucket, plus the
+    unusedMetricLife TTL purge (dynstats.c:249-264) as 'ttl' vs the
+    no-TTL cumulative control 'cum' on a bursty subset. All three share
+    the (name, key, window_start, count) schema."""
+    t = _transcripts(spark, sf_dir)
+    reset = A.dyn_inc_windowed(
+        t, "roles", "role", ts_col="ts", interval_s=600, resettable=True,
     )
-
-
-def q_dyn_inc_ttl(spark, sf_dir):
-    """dynstats unusedMetricLife TTL purge (dynstats.c:249-264): bursty
-    activity with silence gaps > TTL restarts the cumulative counter
-    ('ttl'); a no-TTL bucket accumulates forever ('cum')."""
-    t = _transcripts(spark, sf_dir).filter((F.col("i") % 3000) < 600)
-    a = A.dyn_inc_windowed(t, "ttl", "role", ts_col="ts", interval_s=600,
-                           resettable=False, unused_metric_life_s=1200)
-    b = A.dyn_inc_windowed(t, "cum", "role", ts_col="ts", interval_s=600,
-                           resettable=False)
-    return a.unionByName(b)
+    bursty = t.filter((F.col("i") % 3000) < 600)
+    ttl = A.dyn_inc_windowed(
+        bursty, "ttl", "role", ts_col="ts", interval_s=600,
+        resettable=False, unused_metric_life_s=1200,
+    )
+    cum = A.dyn_inc_windowed(
+        bursty, "cum", "role", ts_col="ts", interval_s=600,
+        resettable=False,
+    )
+    return reset.unionByName(ttl).unionByName(cum)
 
 
 def q_parse_uncompress(spark, sf_dir):
@@ -667,13 +664,12 @@ def q_dedup_exact(spark, sf_dir):
     return exact_dedup_groups(_docs(spark, sf_dir))
 
 
-def q_dedup_minhash_sigs(spark, sf_dir):
-    from rsyslog_spark.dataops.dedup import minhash_signatures, shingles
-
-    return minhash_signatures(shingles(_docs(spark, sf_dir)))
-
-
-def q_dedup_minhash_pairs(spark, sf_dir):
+def q_dedup_minhash(spark, sf_dir):
+    """MinHash pipeline in one driver row (consolidated): the banded
+    signatures facet ('sig' rows) AND the candidate-pair + exact-Jaccard
+    facet ('pair' rows) — both derived from ONE persisted shingle frame,
+    unioned with a facet discriminator so each stage gets its own
+    driver-verified values."""
     from rsyslog_spark.dataops.dedup import (
         jaccard_pairs,
         minhash_candidate_pairs,
@@ -684,8 +680,28 @@ def q_dedup_minhash_pairs(spark, sf_dir):
     # the shingle frame feeds 4 subtrees (sigs + both co-join sides +
     # sizes); persist so one execution computes it once
     sh = shingles(_docs(spark, sf_dir)).persist()
-    cand = minhash_candidate_pairs(minhash_signatures(sh))
-    return jaccard_pairs(sh, pairs=cand)
+    sigs = minhash_signatures(sh)
+    pairs = jaccard_pairs(sh, pairs=minhash_candidate_pairs(sigs))
+    sig_rows = sigs.select(
+        F.lit("sig").alias("facet"),
+        F.col("id").alias("a"),
+        F.lit(None).cast("long").alias("b"),
+        F.col("band").cast("long").alias("band"),
+        "sig",
+        F.lit(None).cast("long").alias("inter"),
+        F.lit(None).cast("long").alias("union_n"),
+        F.lit(None).cast("double").alias("jac"),
+    )
+    pair_rows = pairs.select(
+        F.lit("pair").alias("facet"),
+        "a", "b",
+        F.lit(None).cast("long").alias("band"),
+        F.lit(None).cast("string").alias("sig"),
+        F.col("inter").cast("long").alias("inter"),
+        F.col("union_n").cast("long").alias("union_n"),
+        "jac",
+    )
+    return sig_rows.unionByName(pair_rows)
 
 
 def q_ngram_jaccard(spark, sf_dir):
@@ -705,19 +721,28 @@ def q_ngram_jaccard(spark, sf_dir):
 
 
 def q_dedup_simhash(spark, sf_dir):
-    from rsyslog_spark.dataops.dedup import shingles, simhash
-
-    return simhash(shingles(_docs(spark, sf_dir)))
-
-
-def q_simhash_hamming(spark, sf_dir):
+    """SimHash signatures + Hamming-blocked near-dup pairs in one
+    driver row (consolidated facets 'sig'/'pair'). max_dist=3 -> nb=4
+    blocks: the pigeonhole completeness bound holds (a fixed-nb=4
+    blocking with max_dist=16 missed pairs whose diffs span all four
+    blocks — ADVICE r01)."""
     from rsyslog_spark.dataops.dedup import hamming_pairs, shingles, simhash
 
-    # max_dist=3 -> nb=4 blocks: the pigeonhole completeness bound holds
-    # (a fixed-nb=4 blocking with max_dist=16 missed pairs whose diffs
-    # span all four blocks — ADVICE r01)
-    return hamming_pairs(simhash(shingles(_docs(spark, sf_dir))),
-                         max_dist=3)
+    sim = simhash(shingles(_docs(spark, sf_dir)))
+    sig_rows = sim.select(
+        F.lit("sig").alias("facet"),
+        F.col("id").alias("a"),
+        F.lit(None).cast("long").alias("b"),
+        "simhash",
+        F.lit(None).cast("long").alias("dist"),
+    )
+    pair_rows = hamming_pairs(sim, max_dist=3).select(
+        F.lit("pair").alias("facet"),
+        "a", "b",
+        F.lit(None).cast("string").alias("simhash"),
+        F.col("dist").cast("long").alias("dist"),
+    )
+    return sig_rows.unionByName(pair_rows)
 
 
 def q_embedding_topk(spark, sf_dir):
@@ -765,60 +790,48 @@ def q_embedding_lsh_topk(spark, sf_dir):
     return topk_lsh(e, e.filter(F.col("vec_id") < 10), k=5)
 
 
-def q_lang_id(spark, sf_dir):
-    from rsyslog_spark.dataops.textstats import lang_id
-
-    out = lang_id(_docs(spark, sf_dir))
-    return out.select(
-        "doc_id", "score_en", "score_es", "score_fr", "score_de", "lang_pred"
+def q_textstats(spark, sf_dir):
+    """All four text-curation operators in one driver row
+    (consolidated): language-ID scores + prediction, quality features +
+    composite score, whitespace/BPE-ish token counts (all chained
+    Column appenders — one scan, zero shuffles), plus the min-k
+    fingerprint (its own grouped plan) joined back per doc."""
+    from rsyslog_spark.dataops.textstats import (
+        fingerprint,
+        lang_id,
+        quality_score,
+        token_counts,
     )
 
-
-def q_quality(spark, sf_dir):
-    from rsyslog_spark.dataops.textstats import quality_score
-
-    out = quality_score(_docs(spark, sf_dir))
-    return out.select(
-        "doc_id", "n_tokens", "mean_tok_len", "punct_ratio",
-        "stop_ratio", "quality",
-    )
-
-
-def q_token_counts(spark, sf_dir):
-    from rsyslog_spark.dataops.textstats import token_counts
-
-    return token_counts(_docs(spark, sf_dir)).select(
-        "doc_id", "ws_tokens", "bpe_tokens"
-    )
-
-
-def q_fingerprint(spark, sf_dir):
-    from rsyslog_spark.dataops.textstats import fingerprint
-
-    return fingerprint(_docs(spark, sf_dir))
-
-
-def q_multimodal_meta(spark, sf_dir):
-    from rsyslog_spark.dataops.multimodal import with_binary_payload
-
-    out = with_binary_payload(_docs(spark, sf_dir))
-    return out.select(
+    d = _docs(spark, sf_dir)
+    flat = token_counts(quality_score(lang_id(d)))
+    fp = fingerprint(d).withColumnRenamed("id", "doc_id")
+    return flat.join(fp, on="doc_id").select(
         "doc_id",
-        F.col("media_meta.nbytes").alias("nbytes"),
-        F.col("media_meta.digest").alias("digest"),
+        "score_en", "score_es", "score_fr", "score_de", "lang_pred",
+        "n_tokens", "mean_tok_len", "punct_ratio", "stop_ratio", "quality",
+        "ws_tokens", "bpe_tokens",
+        "fp",
     )
 
 
-def q_multimodal_features(spark, sf_dir):
+def q_multimodal(spark, sf_dir):
+    """Binary-payload metadata + Arrow feature extraction in one driver
+    row (consolidated): both facets are per-doc over the same payload
+    frame, joined per row."""
     from rsyslog_spark.dataops.multimodal import (
         extract_features,
         with_binary_payload,
     )
 
-    out = extract_features(with_binary_payload(_docs(spark, sf_dir)))
-    return out.select(
+    payload = with_binary_payload(_docs(spark, sf_dir))
+    meta = payload.select(
+        "doc_id",
+        F.col("media_meta.nbytes").alias("nbytes"),
+        F.col("media_meta.digest").alias("digest"),
+    )
+    feats = extract_features(payload).select(
         F.col("id").alias("doc_id"),
-        "nbytes",
         F.concat_ws(
             ",",
             F.transform(
@@ -827,6 +840,7 @@ def q_multimodal_features(spark, sf_dir):
             ),
         ).alias("features_csv"),
     )
+    return meta.join(feats, on="doc_id")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -848,12 +862,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_sequence_conv": q_mm_sequence_conv,
         "seq_summary": q_seq_summary,
         "repeat_runs_role": q_repeat_runs_role,
-        "rate_limit": q_rate_limit,
-        "every_nth": q_every_nth,
-        "once_per_interval": q_once_per_interval,
+        "sampling_gates": q_sampling_gates,
         "mm_jsonparse": q_mm_jsonparse,
         "mm_fields": q_mm_fields,
-        "mm_rm1stspace": q_mm_rm1stspace,
         "mm_pstrucdata": q_mm_pstrucdata,
         "rs_functions": q_rs_functions,
         "impstats": q_impstats,
@@ -862,33 +873,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "call_indirect": q_call_indirect,
         "config_text_calc": q_config_text_calc,
         "pm_lastmsg": q_pm_lastmsg,
-        "dyn_inc_reset": q_dyn_inc_reset,
-        "dyn_inc_ttl": q_dyn_inc_ttl,
+        "dyn_inc_cycles": q_dyn_inc_cycles,
         "parse_uncompress": q_parse_uncompress,
         "multiline": q_multiline,
         "sys_time_props": q_sys_time_props,
         "immark_rows": q_immark_rows,
-        "rate_limit_severity": q_rate_limit_severity,
         "template_options": q_template_options,
-        "rs_functions2": q_rs_functions2,
-        "mm_anon": q_mm_anon,
-        "mm_normalize": q_mm_normalize,
+        "mm_rewrite": q_mm_rewrite,
         "dyn_inc_capped": q_dyn_inc_capped,
         "dedup_exact": q_dedup_exact,
-        "dedup_minhash_sigs": q_dedup_minhash_sigs,
-        "dedup_minhash_pairs": q_dedup_minhash_pairs,
+        "dedup_minhash": q_dedup_minhash,
         "ngram_jaccard": q_ngram_jaccard,
         "dedup_simhash": q_dedup_simhash,
-        "simhash_hamming": q_simhash_hamming,
         "embedding_topk": q_embedding_topk,
         "embedding_neardup": q_embedding_neardup,
         "embedding_lsh_topk": q_embedding_lsh_topk,
-        "lang_id": q_lang_id,
-        "quality": q_quality,
-        "token_counts": q_token_counts,
-        "fingerprint": q_fingerprint,
-        "multimodal_meta": q_multimodal_meta,
-        "multimodal_features": q_multimodal_features,
+        "textstats": q_textstats,
+        "multimodal": q_multimodal,
     }
 
 
@@ -1019,20 +1020,19 @@ def oracle_sql() -> dict[str, str]:
         "    THEN 1 ELSE 0 END AS chg FROM t0)) "
         "GROUP BY conv_id, run"
     )
-    o["rate_limit"] = with_parsed_oracle(
-        "SELECT conv_id, turn_idx, row_number() OVER "
+    o["sampling_gates"] = with_parsed_oracle(
+        "SELECT conv_id, turn_idx, "
+        "row_number() OVER (PARTITION BY conv_id, "
+        "date_trunc('minute', ts) ORDER BY turn_idx) <= 5 AS rl_keep, "
+        "CASE WHEN syslogseverity < 4 THEN TRUE ELSE "
+        "sum(CASE WHEN syslogseverity >= 4 THEN 1 ELSE 0 END) OVER "
         "(PARTITION BY conv_id, date_trunc('minute', ts) ORDER BY turn_idx) "
-        "<= 5 AS rl_keep FROM t0"
-    )
-    o["every_nth"] = with_parsed_oracle(
-        "SELECT conv_id, turn_idx, (row_number() OVER "
-        "(PARTITION BY conv_id ORDER BY turn_idx) % 3) = 0 AS nth_keep "
-        "FROM t0"
-    )
-    o["once_per_interval"] = with_parsed_oracle(
-        "SELECT conv_id, turn_idx, row_number() OVER "
-        "(PARTITION BY conv_id, CAST(floor(epoch(ts) / 600) AS BIGINT) "
-        "ORDER BY turn_idx) = 1 AS once_keep FROM t0"
+        "<= 3 END AS rl_sev_keep, "
+        "(row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx) % 3) "
+        "= 0 AS nth_keep, "
+        "row_number() OVER (PARTITION BY conv_id, "
+        "CAST(floor(epoch(ts) / 600) AS BIGINT) ORDER BY turn_idx) = 1 "
+        "AS once_keep FROM p"
     )
     o["mm_jsonparse"] = with_parsed_oracle(
         "SELECT i, CAST(i AS BIGINT) AS msgnum, "
@@ -1045,11 +1045,8 @@ def oracle_sql() -> dict[str, str]:
     o["mm_fields"] = with_parsed_oracle(
         "SELECT i, list_extract(string_split(msg, ':'), 1) AS f1, "
         "list_extract(string_split(msg, ':'), 2) AS f2, "
-        "CAST(len(string_split(msg, ':')) AS BIGINT) AS nf "
-        "FROM p WHERE parse_success"
-    )
-    o["mm_rm1stspace"] = with_parsed_oracle(
-        "SELECT i, CASE WHEN msg LIKE ' %' THEN substr(msg, 2) ELSE msg END "
+        "CAST(len(string_split(msg, ':')) AS BIGINT) AS nf, "
+        "CASE WHEN msg LIKE ' %' THEN substr(msg, 2) ELSE msg END "
         "AS msg FROM p WHERE parse_success"
     )
     o["mm_pstrucdata"] = with_parsed_oracle(
@@ -1072,7 +1069,22 @@ def oracle_sql() -> dict[str, str]:
         "CAST(CASE WHEN i % 5 = 0 THEN 0 ELSE i // (i % 5) END AS BIGINT) "
         "AS dv, "
         "substr(msg, 2, 6) AS sub, "
-        "'\"' || programname || '\"' AS wrapped "
+        "'\"' || programname || '\"' AS wrapped, "
+        "CAST(CASE WHEN i % 10 <= 7 THEN epoch(timereported) ELSE 0 END "
+        "AS BIGINT) AS pt, "
+        "(i % 10 <= 7) AS ist, "
+        "strftime(make_timestamp((i * 1000 + 7) * 1000000), '%b') || ' ' || "
+        "lpad(CAST(day(make_timestamp((i * 1000 + 7) * 1000000)) "
+        "AS VARCHAR), 2, ' ') || ' ' || "
+        "strftime(make_timestamp((i * 1000 + 7) * 1000000), '%H:%M:%S') "
+        "AS ft64, "
+        "strftime(make_timestamp((i * 1000 + 7) * 1000000), "
+        "'%Y-%m-%dT%H:%M:%S') || '+00:00' AS ft39, "
+        "CAST(length(msg) AS INT) AS sl, "
+        "replace(msg, 'the', 'THE') AS rep, "
+        "'\"' || replace(msg, '\"', '#') || '\"' AS w3, "
+        "CAST((i * 9973) % 4294967296 AS BIGINT) AS ipn, "
+        "CAST(-1 AS BIGINT) AS ipbad "
         "FROM p WHERE parse_success"
     )
     o["config_text_routing"] = with_parsed_oracle(
@@ -1133,12 +1145,7 @@ def oracle_sql() -> dict[str, str]:
         "FROM events WHERE event_id % 50 = 0"
     )
     _W600 = "CAST(floor(epoch(ts) / 600) AS BIGINT)"
-    o["dyn_inc_reset"] = with_parsed_oracle(
-        f"SELECT 'roles' AS name, role AS key, "
-        f"make_timestamp({_W600} * 600 * 1000000) AS window_start, "
-        f"count(*) AS count FROM t0 GROUP BY role, {_W600}"
-    )
-    o["dyn_inc_ttl"] = with_parsed_oracle(
+    o["dyn_inc_cycles"] = with_parsed_oracle(
         f", base AS (SELECT role AS key, {_W600} AS w, "
         "count(*) AS n FROM t0 WHERE i % 3000 < 600 GROUP BY 1, 2), "
         "gaps AS (SELECT key, w, n, CASE WHEN w - lag(w) OVER "
@@ -1146,10 +1153,13 @@ def oracle_sql() -> dict[str, str]:
         "FROM base), "
         "seg AS (SELECT key, w, n, sum(g) OVER "
         "(PARTITION BY key ORDER BY w) AS s FROM gaps) "
-        "SELECT 'ttl' AS name, key, "
-        "make_timestamp(w * 600 * 1000000) AS window_start, "
+        f"SELECT 'roles' AS name, role AS key, "
+        f"make_timestamp({_W600} * 600 * 1000000) AS window_start, "
+        f"count(*) AS count FROM t0 GROUP BY role, {_W600} "
+        "UNION ALL SELECT 'ttl', key, "
+        "make_timestamp(w * 600 * 1000000), "
         "CAST(sum(n) OVER (PARTITION BY key, s ORDER BY w) AS BIGINT) "
-        "AS count FROM seg "
+        "FROM seg "
         "UNION ALL SELECT 'cum', key, "
         "make_timestamp(w * 600 * 1000000), "
         "CAST(sum(n) OVER (PARTITION BY key ORDER BY w) AS BIGINT) "
@@ -1180,13 +1190,6 @@ def oracle_sql() -> dict[str, str]:
     )
     # severity gate: sev >= 4 limited (burst 3 per conv per minute,
     # ranked among limited rows only); sev < 4 always kept
-    o["rate_limit_severity"] = with_parsed_oracle(
-        "SELECT conv_id, turn_idx, "
-        "CASE WHEN syslogseverity < 4 THEN TRUE ELSE "
-        "sum(CASE WHEN syslogseverity >= 4 THEN 1 ELSE 0 END) OVER "
-        "(PARTITION BY conv_id, date_trunc('minute', ts) ORDER BY turn_idx) "
-        "<= 3 END AS rl_keep FROM p"
-    )
     o["sys_time_props"] = with_parsed_oracle(
         "SELECT i, strftime(ts, '%Y-%m-%d') || ' ' || "
         "strftime(ts, '%H:%M') || ' h' || "
@@ -1212,23 +1215,6 @@ def oracle_sql() -> dict[str, str]:
         + _JESC.format(x="regexp_replace(msg, ' +', ' ', 'g')")
         + " AS jmsg FROM p WHERE parse_success"
     )
-    _mk_ts = "make_timestamp((i * 1000 + 7) * 1000000)"
-    o["rs_functions2"] = with_parsed_oracle(
-        "SELECT i, "
-        "CAST(CASE WHEN i % 10 <= 7 THEN epoch(timereported) ELSE 0 END "
-        "AS BIGINT) AS pt, "
-        "(i % 10 <= 7) AS ist, "
-        f"strftime({_mk_ts}, '%b') || ' ' || "
-        f"lpad(CAST(day({_mk_ts}) AS VARCHAR), 2, ' ') || ' ' || "
-        f"strftime({_mk_ts}, '%H:%M:%S') AS ft64, "
-        f"strftime({_mk_ts}, '%Y-%m-%dT%H:%M:%S') || '+00:00' AS ft39, "
-        "CAST(length(msg) AS INT) AS sl, "
-        "replace(msg, 'the', 'THE') AS rep, "
-        "'\"' || replace(msg, '\"', '#') || '\"' AS w3, "
-        "CAST((i * 9973) % 4294967296 AS BIGINT) AS ipn, "
-        "CAST(-1 AS BIGINT) AS ipbad "
-        "FROM p WHERE parse_success"
-    )
     _k2 = "((i * 2654435761) % 4294967296)"
     _quad2 = (
         f"CAST({_k2} // 16777216 % 256 AS VARCHAR) || '.' || "
@@ -1236,15 +1222,12 @@ def oracle_sql() -> dict[str, str]:
         f"CAST({_k2} // 256 % 256 AS VARCHAR) || '.' || "
         f"CAST({_k2} % 256 AS VARCHAR)"
     )
-    o["mm_anon"] = with_parsed_oracle(
+    o["mm_rewrite"] = with_parsed_oracle(
         "SELECT i, regexp_replace("
         f"'src=' || {_quad2} || ' dst=10.1.2.3 ' || msg, "
         r"'\b(\d{1,3})\.(\d{1,3})\.(\d{1,3})\.(\d{1,3})\b', "
-        r"'\1.\2.0.0', 'g') AS msg "
-        "FROM p WHERE parse_success"
-    )
-    o["mm_normalize"] = with_parsed_oracle(
-        "SELECT i, regexp_extract(msg, 'msgnum:([0-9]+)', 1) AS msgnum, "
+        r"'\1.\2.0.0', 'g') AS anon_msg, "
+        "regexp_extract(msg, 'msgnum:([0-9]+)', 1) AS msgnum, "
         "regexp_extract(msg, '^ ?([a-z]+)', 1) AS first_word "
         "FROM p WHERE parse_success"
     )
@@ -1309,13 +1292,16 @@ def oracle_sql() -> dict[str, str]:
         "SELECT md5(text) AS content_hash, count(*) AS n, "
         "min(doc_id) AS keep_id FROM documents GROUP BY 1"
     )
-    o["dedup_minhash_sigs"] = (
-        f"WITH {_SH}, {_SIGS} SELECT id, CAST(band AS INT) AS band, sig "
-        "FROM sigs"
-    )
-    o["dedup_minhash_pairs"] = (
+    o["dedup_minhash"] = (
         f"WITH {_SH}, {_SIGS}, {_CAND}, {_SIZES}, {_CO}, {_JAC} "
-        "SELECT jac.* FROM jac JOIN cand ON jac.a = cand.a AND jac.b = cand.b"
+        "SELECT 'sig' AS facet, id AS a, CAST(NULL AS BIGINT) AS b, "
+        "CAST(band AS BIGINT) AS band, sig, "
+        "CAST(NULL AS BIGINT) AS inter, CAST(NULL AS BIGINT) AS union_n, "
+        "CAST(NULL AS DOUBLE) AS jac FROM sigs "
+        "UNION ALL SELECT 'pair', jac.a, jac.b, "
+        "CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR), "
+        "CAST(jac.inter AS BIGINT), CAST(jac.union_n AS BIGINT), jac.jac "
+        "FROM jac JOIN cand ON jac.a = cand.a AND jac.b = cand.b"
     )
     _SH2 = (
         "toks AS (SELECT doc_id AS id, string_split(text, ' ') AS w "
@@ -1338,8 +1324,7 @@ def oracle_sql() -> dict[str, str]:
         "sim AS (SELECT id, string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' "
         "END, '' ORDER BY k) AS simhash FROM bits GROUP BY id)"
     )
-    o["dedup_simhash"] = f"WITH {_SH}, {_BITS}, {_SIM} SELECT * FROM sim"
-    o["simhash_hamming"] = (
+    o["dedup_simhash"] = (
         f"WITH {_SH}, {_BITS}, {_SIM}, "
         "blocks AS (SELECT id, simhash, blk, "
         "substr(simhash, blk * 8 + 1, 8) AS piece FROM sim, "
@@ -1347,7 +1332,10 @@ def oracle_sql() -> dict[str, str]:
         "candh AS (SELECT DISTINCT l.id AS a, r.id AS b, "
         "l.simhash AS ha, r.simhash AS hb FROM blocks l JOIN blocks r "
         "ON l.blk = r.blk AND l.piece = r.piece AND l.id < r.id) "
-        "SELECT a, b, dist FROM (SELECT a, b, CAST(list_sum("
+        "SELECT 'sig' AS facet, id AS a, CAST(NULL AS BIGINT) AS b, "
+        "simhash, CAST(NULL AS BIGINT) AS dist FROM sim "
+        "UNION ALL SELECT 'pair', a, b, CAST(NULL AS VARCHAR), "
+        "CAST(dist AS BIGINT) FROM (SELECT a, b, CAST(list_sum("
         "list_transform(generate_series(1, 32), k -> CASE WHEN "
         "substr(ha, k, 1) <> substr(hb, k, 1) THEN 1 ELSE 0 END)) AS INT) "
         "AS dist FROM candh) WHERE dist <= 3"
@@ -1453,52 +1441,42 @@ def oracle_sql() -> dict[str, str]:
     from rsyslog_spark.dataops.textstats import STOPWORDS as _SW
 
     _sc = {lang: _hits(words) for lang, words in _SW.items()}
-    o["lang_id"] = (
+    _GREAT = "greatest(score_de, score_en, score_es, score_fr)"
+    o["textstats"] = (
         f"WITH {_W}, s AS (SELECT doc_id, {_sc['en']} AS score_en, "
         f"{_sc['es']} AS score_es, {_sc['fr']} AS score_fr, "
-        f"{_sc['de']} AS score_de FROM tw) "
-        "SELECT doc_id, score_en, score_es, score_fr, score_de, "
-        "CASE WHEN greatest(score_de, score_en, score_es, score_fr) = 0 "
-        "THEN 'und' "
-        "WHEN score_de = greatest(score_de, score_en, score_es, score_fr) "
-        "THEN 'de' "
-        "WHEN score_en = greatest(score_de, score_en, score_es, score_fr) "
-        "THEN 'en' "
-        "WHEN score_es = greatest(score_de, score_en, score_es, score_fr) "
-        "THEN 'es' ELSE 'fr' END AS lang_pred FROM s"
-    )
-    o["quality"] = (
-        f"WITH {_W}, q AS (SELECT doc_id, "
+        f"{_sc['de']} AS score_de FROM tw), "
+        "q AS (SELECT doc_id, "
         "CAST(len(w) AS BIGINT) AS n_tokens, "
         "round(length(text) / greatest(len(w), 1), 4) AS mean_tok_len, "
         "round(length(regexp_replace(text, '[A-Za-z ]', '', 'g')) / "
         "greatest(length(text), 1), 4) AS punct_ratio, "
         f"round({_sc['en']} / greatest(len(w), 1), 4) AS stop_ratio, "
-        "length(text) AS n_chars FROM tw) "
-        "SELECT doc_id, n_tokens, mean_tok_len, punct_ratio, stop_ratio, "
-        "floor(((CASE WHEN n_chars BETWEEN 50 AND 100000 THEN 0.4 "
-        "ELSE 0.0 END) + (1.0 - least(punct_ratio * 2, 1.0)) * 0.3 + "
-        "least(stop_ratio * 5, 1.0) * 0.3) * 10000 + 0.5) / 10000 "
-        "AS quality FROM q"
-    )
-    o["token_counts"] = (
-        f"WITH {_W} SELECT doc_id, CAST(len(w) AS BIGINT) AS ws_tokens, "
+        "length(text) AS n_chars, "
+        "CAST(len(w) AS BIGINT) AS ws_tokens, "
         "CAST(list_sum(list_transform(w, t -> ceil(length(t) / 4.0))) "
-        "AS BIGINT) AS bpe_tokens FROM tw"
-    )
-    o["fingerprint"] = (
-        "WITH g AS (SELECT DISTINCT doc_id AS id, "
+        "AS BIGINT) AS bpe_tokens FROM tw), "
+        "g AS (SELECT DISTINCT doc_id AS id, "
         "md5(substr(text, p, 8)) AS h FROM documents, "
         "unnest(generate_series(1, greatest(length(text) - 7, 1))) "
         "AS tp(p)), "
         "r AS (SELECT id, h, row_number() OVER (PARTITION BY id "
-        "ORDER BY h) AS rn FROM g) "
-        "SELECT id, string_agg(h, '' ORDER BY h) AS fp FROM r "
-        "WHERE rn <= 4 GROUP BY id"
-    )
-    o["multimodal_meta"] = (
-        "SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) "
-        "AS nbytes, md5(text) AS digest FROM documents"
+        "ORDER BY h) AS rn FROM g), "
+        "fpx AS (SELECT id, string_agg(h, '' ORDER BY h) AS fp FROM r "
+        "WHERE rn <= 4 GROUP BY id) "
+        "SELECT s.doc_id, s.score_en, s.score_es, s.score_fr, s.score_de, "
+        f"CASE WHEN {_GREAT} = 0 THEN 'und' "
+        f"WHEN score_de = {_GREAT} THEN 'de' "
+        f"WHEN score_en = {_GREAT} THEN 'en' "
+        f"WHEN score_es = {_GREAT} THEN 'es' ELSE 'fr' END AS lang_pred, "
+        "q.n_tokens, q.mean_tok_len, q.punct_ratio, q.stop_ratio, "
+        "floor(((CASE WHEN q.n_chars BETWEEN 50 AND 100000 THEN 0.4 "
+        "ELSE 0.0 END) + (1.0 - least(q.punct_ratio * 2, 1.0)) * 0.3 + "
+        "least(q.stop_ratio * 5, 1.0) * 0.3) * 10000 + 0.5) / 10000 "
+        "AS quality, "
+        "q.ws_tokens, q.bpe_tokens, fpx.fp "
+        "FROM s JOIN q ON s.doc_id = q.doc_id "
+        "JOIN fpx ON s.doc_id = fpx.id"
     )
     _BYTE = (
         "((instr('0123456789abcdef', substr(md5(text), {p1}, 1)) - 1) * 16 "
@@ -1510,9 +1488,10 @@ def oracle_sql() -> dict[str, str]:
         + " / 255.0 AS FLOAT) AS DOUBLE))"
         for j in range(8)
     )
-    o["multimodal_features"] = (
+    o["multimodal"] = (
         "SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) "
-        f"AS nbytes, {_feats} AS features_csv FROM documents"
+        f"AS nbytes, md5(text) AS digest, {_feats} AS features_csv "
+        "FROM documents"
     )
     o["impstats"] = with_parsed_oracle(
         "SELECT 'core.submitted' AS counter, CAST(count(*) AS BIGINT) "
