@@ -647,6 +647,103 @@ def q_rate_limit_severity(spark, sf_dir):
     return out.select("conv_id", "turn_idx", "rl_keep")
 
 
+_CONF_FO = """
+ruleset(name="fo") {
+    if $syslogseverity <= 3 then {
+        action(type="omfile" file="/log/pri_crit.log")
+        action(type="omfile" file="/log/alt_crit.log"
+               action.execOnlyWhenPreviousIsSuspended="on")
+    }
+    action(type="omfile" file="/log/pri_all.log")
+    action(type="omfile" file="/log/alt_all.log"
+           action.execOnlyWhenPreviousIsSuspended="on")
+}
+"""
+
+
+def q_failover(spark, sf_dir):
+    """Action suspension + execOnlyWhenPreviousIsSuspended failover
+    (action.c:1812-1815; reference tests
+    execonlywhenpreviousissuspended*.sh): pri_crit is marked down, so
+    its failover alt_crit receives exactly the crit-path rows; pri_all
+    is healthy, so alt_all receives nothing (absent from counts)."""
+    from rsyslog_spark.config import compile_config
+
+    ann, actions = compile_config(
+        _parsed(spark, sf_dir), _CONF_FO, entry="fo",
+        suspended_sinks={"pri_crit"},
+    )
+    pairs = ", ".join(f"'{a.sink}', {a.pred_col}" for a in actions)
+    return (
+        ann.selectExpr(f"stack({len(actions)}, {pairs}) as (sink, hit)")
+        .filter("hit")
+        .groupBy("sink")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def q_bre_propfilt(spark, sf_dir):
+    """Legacy ``regex`` propfilt op in its actual POSIX BRE dialect
+    (evalPROPFILT ruleset.c:446-535 compiles WITHOUT REG_EXTENDED):
+    escaped parens/braces are operators, bare ones and +?| literals —
+    translated token-by-token to the Java rlike dialect
+    (filters.bre_to_java)."""
+    from rsyslog_spark.filters import propfilt_predicate
+
+    p = _ok(spark, sf_dir)
+    return p.select(
+        "i",
+        propfilt_predicate(
+            F.col("msg"), "regex", r"\(lazy\|msgnum:1[0-9]\{2\}\)"
+        ).alias("m_bre"),
+        propfilt_predicate(
+            F.col("msg"), "regex", "(parens) q+"
+        ).alias("m_lit"),
+    )
+
+
+def q_octet_framing(spark, sf_dir):
+    """Octet-counting AND octet-stuffing stream framing round-trip
+    (omfwd.c:1195 "%d %s" frames / :1308-1310 LF trailer; imtcp
+    consumes both): per conversation, frame every message into one
+    byte stream, split it back, and recover each message at its
+    in-stream position. One Arrow split pass + one posexplode."""
+    from rsyslog_spark.parse.framing import (
+        frame_octet_counted,
+        split_octet_counted,
+        split_octet_stuffed,
+    )
+
+    t = _transcripts(spark, sf_dir)
+    framed = t.select(
+        "conv_id", "turn_idx",
+        frame_octet_counted(F.col("text")).alias("fr"),
+        F.concat(F.col("text"), F.lit("\n")).alias("st"),
+    )
+
+    def _stream(col):
+        return F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("turn_idx", col))),
+                lambda x: x[col],
+            ),
+            "",
+        )
+
+    streams = framed.groupBy("conv_id").agg(
+        _stream("fr").alias("buf"), _stream("st").alias("sbuf")
+    )
+    counted = split_octet_counted(streams.select("conv_id", "buf")).select(
+        "conv_id", "frame_idx", "text", F.lit("counted").alias("mode")
+    )
+    stuffed = split_octet_stuffed(
+        streams.select("conv_id", F.col("sbuf").alias("buf"))
+    ).select(
+        "conv_id", "frame_idx", "text", F.lit("stuffed").alias("mode")
+    )
+    return counted.unionByName(stuffed)
+
+
 # --- training-data ops (rsyslog_spark.dataops) -----------------------------
 
 
@@ -878,6 +975,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multiline": q_multiline,
         "sys_time_props": q_sys_time_props,
         "immark_rows": q_immark_rows,
+        "failover": q_failover,
+        "bre_propfilt": q_bre_propfilt,
+        "octet_framing": q_octet_framing,
         "template_options": q_template_options,
         "mm_rewrite": q_mm_rewrite,
         "dyn_inc_capped": q_dyn_inc_capped,
@@ -1190,6 +1290,25 @@ def oracle_sql() -> dict[str, str]:
     )
     # severity gate: sev >= 4 limited (burst 3 per conv per minute,
     # ranked among limited rows only); sev < 4 always kept
+    o["failover"] = with_parsed_oracle(
+        "SELECT 'alt_crit' AS sink, count(*) AS n FROM p "
+        "WHERE syslogseverity <= 3 "
+        "UNION ALL SELECT 'pri_all', count(*) FROM p"
+    )
+    o["bre_propfilt"] = with_parsed_oracle(
+        "SELECT i, "
+        "regexp_matches(msg, '(lazy|msgnum:1[0-9]{2})') AS m_bre, "
+        "regexp_matches(msg, '\\(parens\\) q\\+') AS m_lit "
+        "FROM p WHERE parse_success"
+    )
+    o["octet_framing"] = with_parsed_oracle(
+        "SELECT conv_id, CAST(row_number() OVER (PARTITION BY conv_id "
+        "ORDER BY turn_idx) - 1 AS BIGINT) AS frame_idx, text, "
+        "'counted' AS mode FROM t0 "
+        "UNION ALL SELECT conv_id, CAST(row_number() OVER "
+        "(PARTITION BY conv_id ORDER BY turn_idx) - 1 AS BIGINT), text, "
+        "'stuffed' FROM t0"
+    )
     o["sys_time_props"] = with_parsed_oracle(
         "SELECT i, strftime(ts, '%Y-%m-%d') || ' ' || "
         "strftime(ts, '%H:%M') || ' h' || "

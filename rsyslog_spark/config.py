@@ -131,9 +131,12 @@ class ParsedConfig:
     lookups: dict = field(default_factory=dict)  # name -> LookupTable
     queued: set = field(default_factory=set)  # rulesets with own queue
     main: list = field(default_factory=list)  # statements outside rulesets
+    # sinks marked down at config time (health probe / operator flag);
+    # drives action suspension + previous_action_suspended()
+    suspended: set = field(default_factory=set)
 
     def compiler(self) -> RouteCompiler:
-        rc = RouteCompiler()
+        rc = RouteCompiler(suspended_sinks=self.suspended)
         for rs in self.rulesets.values():
             rc.add(rs)
         if self.main:
@@ -162,7 +165,7 @@ def _mark_queued_calls(rulesets, queued: set):
 # rainerscript.c:3730-3763). Stateful/environment entries intentionally
 # excluded: dyn_inc (aggregation-side analog rsyslog_spark.agg.dyn_inc),
 # random (nondeterminism breaks golden tests — reference testbench
-# avoids it too), previous_action_suspended (no suspension concept).
+# avoids it too).
 _FUNNAMES = {
     "strlen", "getenv", "num2ipv4", "int2hex", "substring", "ltrim",
     "rtrim", "tolower", "cstr", "cnum", "ip42num", "ipv42num",
@@ -170,6 +173,7 @@ _FUNNAMES = {
     "exec_template", "prifilt", "lookup", "replace", "wrap",
     "format_time", "parse_time", "is_time", "parse_json",
     "get_property", "script_error", "exists",
+    "previous_action_suspended",
 }
 
 
@@ -187,6 +191,11 @@ class _Parser:
         # ADVICE r02 fix; foreach bodies remain straight-line-only and
         # are documented as such)
         self._path_stack: list[Column] = []
+        # previous_action_suspended() channel (rainerscript.c:2803):
+        # per-ACTION suspension state threaded in textual order, exactly
+        # the rule RouteCompiler applies at compile (suspension is
+        # action-global in the reference, not per message)
+        self._prev_act_susp = False
         # side-effect statements produced while parsing an expression
         # (parse_json writes its container var): flushed into the
         # statement list JUST BEFORE the statement whose expression
@@ -292,7 +301,17 @@ class _Parser:
                 return
             if lword == "action":
                 self.next()
-                into.append(self.action(self.params()))
+                a = self.action(self.params())
+                into.append(a)
+                if isinstance(a, Action):
+                    # previous_action_suspended() tracks the same
+                    # textual-order attempt rule the compiler applies
+                    attempts = (
+                        not a.exec_when_prev_suspended
+                        or self._prev_act_susp
+                    )
+                    if attempts:
+                        self._prev_act_susp = a.sink in self.cfg.suspended
                 return
             if lword == "if":
                 self.next()
@@ -393,14 +412,21 @@ class _Parser:
                 "mandatory params)"
             )
         sink = os.path.splitext(os.path.basename(path))[0]
+        # action.execOnlyWhenPreviousIsSuspended (action.c:1812-1815)
+        eowps = (
+            p.get("action.execonlywhenpreviousissuspended", "off") == "on"
+        )
         tpl = p.get("template")
         if tpl:
             tpl_text = self.cfg.templates.get(tpl, BUILTIN_TEMPLATES.get(tpl))
             if tpl_text is None:
                 raise ValueError(f"unknown template {tpl!r}")
             self.cfg.sink_templates[sink] = tpl
-            return Action(sink, compile_template(tpl_text))
-        return Action(sink)
+            return Action(
+                sink, compile_template(tpl_text),
+                exec_when_prev_suspended=eowps,
+            )
+        return Action(sink, exec_when_prev_suspended=eowps)
 
     # -- expressions -----------------------------------------------------
     # Reference precedence (grammar.y:120-124), lowest to highest:
@@ -646,6 +672,13 @@ class _Parser:
             self.expect("(")
             self.expect(")")
             return self._script_err, "n"
+        if name == "previous_action_suspended":
+            # rainerscript.c:2803 doFunct_PrevActionSuspended: 1 while
+            # the previous action (textual order, same rule as the
+            # failover chain compiler) is suspended
+            self.expect("(")
+            self.expect(")")
+            return F.lit(1 if self._prev_act_susp else 0), "n"
         if name == "exists":
             # exists($!x): property existence, NOT empty-string test
             # (grammar.y:222, msgCheckVarExists msg.h:234)
@@ -911,11 +944,17 @@ def _legacy_line(line: str, cfg: ParsedConfig) -> bool:
     return False
 
 
-def parse_config(text: str, lookups: dict | None = None) -> ParsedConfig:
+def parse_config(
+    text: str,
+    lookups: dict | None = None,
+    suspended_sinks: set | None = None,
+) -> ParsedConfig:
     """Parse a config text (RainerScript subset + legacy lines)."""
     cfg = ParsedConfig()
     if lookups:
         cfg.lookups.update(lookups)
+    if suspended_sinks:
+        cfg.suspended.update(suspended_sinks)
     modern_lines = []
     for line in text.splitlines():
         stripped = line.strip()
@@ -929,10 +968,15 @@ def parse_config(text: str, lookups: dict | None = None) -> ParsedConfig:
 
 
 def compile_config(df, text: str, entry: str | None = None,
-                   lookups: dict | None = None):
+                   lookups: dict | None = None,
+                   suspended_sinks: set | None = None):
     """Text config -> (annotated DataFrame, actions). ``entry`` defaults
-    to 'main' (statements outside any ruleset) or the single ruleset."""
-    cfg = parse_config(text, lookups=lookups)
+    to 'main' (statements outside any ruleset) or the single ruleset.
+    ``suspended_sinks`` marks sinks currently down: their actions
+    deliver nothing and execOnlyWhenPreviousIsSuspended failovers fire
+    (action.c:1812-1815)."""
+    cfg = parse_config(text, lookups=lookups,
+                       suspended_sinks=suspended_sinks)
     rc = cfg.compiler()
     if entry is None:
         entry = "main" if cfg.main else next(iter(cfg.rulesets))

@@ -138,6 +138,53 @@ def prifilt_not(a: list[int]) -> list[int]:
 _PROP_OPS = ("contains", "isequal", "isempty", "startswith", "regex", "ereregex")
 
 
+def bre_to_java(pattern: str) -> str:
+    """POSIX BRE -> Java regex for the legacy ``regex`` propfilt op.
+
+    The reference compiles ``regex`` with regcomp(3) WITHOUT
+    REG_EXTENDED (ruleset.c:446-535 via objUse(regexp) — BRE dialect),
+    so a pattern written for it means:
+
+    - ``\\(``/``\\)`` group, bare ``(``/``)`` literal
+    - ``\\{``/``\\}`` interval, bare ``{``/``}`` literal
+    - bare ``+``/``?``/``|`` LITERAL (GNU ``\\+``/``\\?``/``\\|`` keep
+      their operator meaning, matching glibc)
+    - ``.`` ``*`` ``[]`` ``^`` ``$`` as usual
+
+    Back-references (``\\1``) have no Java-pushdown-safe equivalent in
+    the rlike path and are rejected loudly, like the BSD-selector
+    precedent (rsconf.c:519-536 error-not-silent policy).
+    """
+    out = []
+    i = 0
+    n = len(pattern)
+    while i < n:
+        ch = pattern[i]
+        if ch == "\\" and i + 1 < n:
+            nxt = pattern[i + 1]
+            if nxt in "(){}":
+                out.append(nxt)  # escaped -> operator in BRE
+            elif nxt in "+?|":
+                out.append(nxt)  # GNU extension: \+ \? \| operators
+            elif nxt.isdigit():
+                raise ValueError(
+                    f"BRE back-reference \\{nxt} in {pattern!r} is not "
+                    "supported by the Spark rlike path (regex dialect "
+                    "limitation; use ereregex without back-references)"
+                )
+            else:
+                out.append("\\" + nxt)
+            i += 2
+            continue
+        if ch in "(){}+?|":
+            out.append("\\" + ch)  # bare -> literal in BRE
+            i += 1
+            continue
+        out.append(ch)
+        i += 1
+    return "".join(out)
+
+
 def propfilt_predicate(
     prop: Column, op: str, value: str | None = None, negate: bool = False
 ) -> Column:
@@ -145,9 +192,9 @@ def propfilt_predicate(
 
     The reference compares against the string form of the property; NULL
     properties behave as "" (propertyValue default, msg.c getProp).
-    regex is POSIX BRE, ereregex POSIX ERE — we translate the common
-    subset to Java regex (rlike); exotic BRE back-references are out of
-    scope (documented limitation, SURVEY §7.3).
+    ``regex`` is POSIX BRE (translated token-by-token via
+    :func:`bre_to_java`; back-references rejected loudly), ``ereregex``
+    POSIX ERE (Java regex common subset, passed through).
     """
     s = F.coalesce(prop.cast("string"), F.lit(""))
     if op == "contains":
@@ -158,7 +205,9 @@ def propfilt_predicate(
         c = s == ""
     elif op == "startswith":
         c = s.startswith(value)
-    elif op in ("regex", "ereregex"):
+    elif op == "regex":
+        c = s.rlike(bre_to_java(value))
+    elif op == "ereregex":
         c = s.rlike(value)
     else:
         raise ValueError(f"unknown property-filter op {op!r}; one of {_PROP_OPS}")

@@ -77,6 +77,11 @@ from rsyslog_spark.templates import compile_template
 class Action:
     sink: str
     template: str | Column | None = None  # None -> raw row routing
+    # action.execOnlyWhenPreviousIsSuspended (action.c:1812-1815):
+    # this action attempts delivery only while the previous action in
+    # textual order is suspended — the standard failover-chain pattern
+    # (reference tests execonlywhenpreviousissuspended*.sh)
+    exec_when_prev_suspended: bool = False
 
 
 @dataclass
@@ -262,9 +267,18 @@ def _has_mutation(stmts: list) -> bool:
 class RouteCompiler:
     """Compiles rulesets over a DataFrame into (annotated_df, actions)."""
 
-    def __init__(self, rulesets: dict[str, Ruleset] | None = None):
+    def __init__(
+        self,
+        rulesets: dict[str, Ruleset] | None = None,
+        suspended_sinks: set | None = None,
+    ):
         self.rulesets = rulesets or {}
         self.queued: set[str] = set()  # rulesets with their own queue
+        # sinks currently marked down (the batch analog of an action in
+        # ActSt_Susp, action.c actionSuspend: in the daemon the state
+        # comes from delivery failures; here it comes from a health
+        # probe / operator flag at plan-compile time)
+        self.suspended_sinks: set = set(suspended_sinks or ())
         self._n = 0
 
     def add(self, rs: Ruleset) -> "RouteCompiler":
@@ -296,6 +310,10 @@ class RouteCompiler:
         )
         true = F.lit(True)
         false = F.lit(False)
+        # bPreviousSuspended analog: suspension is per-ACTION state in
+        # the reference (not per message), so a compile-time boolean
+        # threads through the statement walk in textual order
+        self._prev_suspended = False
         self._exec_block(self.rulesets[entry].stmts, true, false, {entry})
         return self._df, self._actions
 
@@ -352,7 +370,24 @@ class RouteCompiler:
             if isinstance(st, Continue):
                 continue
             if isinstance(st, Action):
-                self._emit_action(st, path & ~stopped)
+                # failover chains (action.c:1812-1815 + iExecIfPrevious
+                # IsSuspended): an execonly action attempts only while
+                # the previous action is suspended; a suspended action
+                # delivers nothing; a skipped execonly action leaves the
+                # previous state in place so longer chains compose
+                # (A down, B down -> C fires).
+                attempts = (
+                    not st.exec_when_prev_suspended or self._prev_suspended
+                )
+                suspended = st.sink in self.suspended_sinks
+                pred = (
+                    (path & ~stopped)
+                    if attempts and not suspended
+                    else F.lit(False)
+                )
+                self._emit_action(st, pred)
+                if attempts:
+                    self._prev_suspended = suspended
             elif isinstance(st, Stop):
                 # everything on this path is stopped from here on
                 stopped = stopped | path

@@ -140,3 +140,183 @@ class TestStreamingDynInc:
         assert rows[("a", "2024-01-01T00:00:00")] == 2
         assert rows[("b", "2024-01-01T00:00:00")] == 1
         assert rows[("a", "2024-01-01T00:10:00")] == 1
+
+
+class TestFailover:
+    def _df(self, spark):
+        return spark.createDataFrame(
+            [(1, 2), (2, 5), (3, 1), (4, 6)], "i int, syslogseverity int"
+        )
+
+    def test_suspended_primary_routes_to_failover(self, spark):
+        from rsyslog_spark.config import compile_config
+
+        conf = """
+        ruleset(name="fo") {
+            action(type="omfile" file="/x/pri.log")
+            action(type="omfile" file="/x/alt.log"
+                   action.execOnlyWhenPreviousIsSuspended="on")
+        }
+        """
+        df = self._df(spark)
+        ann, actions = compile_config(df, conf, entry="fo",
+                                      suspended_sinks={"pri"})
+        got = {a.sink: ann.filter(F.col(a.pred_col)).count()
+               for a in actions}
+        assert got == {"pri": 0, "alt": 4}
+        # healthy primary: failover stays dark
+        ann2, actions2 = compile_config(df, conf, entry="fo")
+        got2 = {a.sink: ann2.filter(F.col(a.pred_col)).count()
+                for a in actions2}
+        assert got2 == {"pri": 4, "alt": 0}
+
+    def test_failover_chain_two_deep(self, spark):
+        from rsyslog_spark.config import compile_config
+
+        conf = """
+        ruleset(name="fo") {
+            action(type="omfile" file="/x/a.log")
+            action(type="omfile" file="/x/b.log"
+                   action.execOnlyWhenPreviousIsSuspended="on")
+            action(type="omfile" file="/x/c.log"
+                   action.execOnlyWhenPreviousIsSuspended="on")
+        }
+        """
+        df = self._df(spark)
+        # a and b both down -> c fires (chain composes)
+        ann, actions = compile_config(df, conf, entry="fo",
+                                      suspended_sinks={"a", "b"})
+        got = {x.sink: ann.filter(F.col(x.pred_col)).count()
+               for x in actions}
+        assert got == {"a": 0, "b": 0, "c": 4}
+        # only a down -> b fires, c does not (b delivered, state clears)
+        ann2, actions2 = compile_config(df, conf, entry="fo",
+                                        suspended_sinks={"a"})
+        got2 = {x.sink: ann2.filter(F.col(x.pred_col)).count()
+                for x in actions2}
+        assert got2 == {"a": 0, "b": 4, "c": 0}
+
+    def test_previous_action_suspended_function(self, spark):
+        from rsyslog_spark.config import compile_config
+
+        conf = """
+        ruleset(name="fo") {
+            action(type="omfile" file="/x/pri.log")
+            set $.pas = previous_action_suspended();
+            action(type="omfile" file="/x/other.log")
+            set $.pas2 = previous_action_suspended();
+        }
+        """
+        df = self._df(spark)
+        ann, _ = compile_config(df, conf, entry="fo",
+                                suspended_sinks={"pri"})
+        r = ann.select("vars").first()["vars"]
+        assert r["pas"] == "1"   # pri is down
+        assert r["pas2"] == "0"  # other delivered fine
+
+
+class TestBreDialect:
+    def test_translation_table(self):
+        from rsyslog_spark.filters import bre_to_java
+
+        assert bre_to_java(r"\(ab\|cd\)") == "(ab|cd)"
+        assert bre_to_java(r"[0-9]\{2,3\}") == "[0-9]{2,3}"
+        assert bre_to_java("(literal) a+b?c|d") == \
+            r"\(literal\) a\+b\?c\|d"
+        assert bre_to_java(r"a\+b\?") == "a+b?"
+        assert bre_to_java(r"\.\*") == r"\.\*"  # escapes pass through
+        assert bre_to_java("^x.*$") == "^x.*$"
+
+    def test_backreference_rejected(self):
+        import pytest as _pytest
+
+        from rsyslog_spark.filters import bre_to_java
+
+        with _pytest.raises(ValueError, match="back-reference"):
+            bre_to_java(r"\(a\)\1")
+
+    def test_predicate_bre_vs_ere(self, spark):
+        from rsyslog_spark.filters import propfilt_predicate
+
+        df = spark.createDataFrame(
+            [(1, "pick (this) one"), (2, "pick this one")],
+            "i int, msg string",
+        )
+        # BRE: bare parens are literals
+        got = {r["i"] for r in df.filter(
+            propfilt_predicate(F.col("msg"), "regex", "(this)")
+        ).collect()}
+        assert got == {1}
+        # ERE: bare parens group
+        got = {r["i"] for r in df.filter(
+            propfilt_predicate(F.col("msg"), "ereregex", "(this)")
+        ).collect()}
+        assert got == {1, 2}
+
+
+class TestFraming:
+    def test_octet_counted_round_trip(self, spark):
+        from rsyslog_spark.parse.framing import (
+            frame_octet_counted,
+            split_octet_counted,
+        )
+
+        msgs = ["<13>hello", "snowman ☃ bytes", "", "1 2 3"]
+        df = spark.createDataFrame(
+            [(i, m) for i, m in enumerate(msgs)], "i int, text string"
+        )
+        buf = df.select(
+            F.lit("s").alias("conv_id"),
+            "i",
+            frame_octet_counted(F.col("text")).alias("fr"),
+        ).groupBy("conv_id").agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("i", "fr"))),
+                    lambda x: x["fr"],
+                ), "",
+            ).alias("buf")
+        )
+        out = split_octet_counted(buf).orderBy("frame_idx").collect()
+        assert [r["text"] for r in out] == msgs
+        assert [r["frame_idx"] for r in out] == [0, 1, 2, 3]
+
+    def test_octet_counted_malformed_stops(self, spark):
+        from rsyslog_spark.parse.framing import split_octet_counted
+
+        df = spark.createDataFrame(
+            [("c", "5 hello6 world!JUNK7 ignored")], "conv_id string, buf string"
+        )
+        out = split_octet_counted(df).orderBy("frame_idx").collect()
+        # 5:'hello', 6:'world!' then 'JUNK…' is not a digit header:
+        # rest of the buffer dropped like a framing-error connection
+        assert [r["text"] for r in out] == ["hello", "world!"]
+
+    def test_octet_stuffed(self, spark):
+        from rsyslog_spark.parse.framing import split_octet_stuffed
+
+        df = spark.createDataFrame(
+            [("c", "one\ntwo\nthree\n")], "conv_id string, buf string"
+        )
+        out = split_octet_stuffed(df).orderBy("frame_idx").collect()
+        assert [r["text"] for r in out] == ["one", "two", "three"]
+
+    def test_composes_with_zlib_front_door(self, spark):
+        import zlib
+
+        from rsyslog_spark.parse.framing import split_octet_counted
+        from rsyslog_spark.parse.uncompress import with_uncompressed
+
+        payload = b"z" + zlib.compress(b"<14>compressed msg")
+        # binary-safe framing: length counts the raw bytes
+        frame = str(len(payload)).encode() + b" " + payload + b"7 <13>raw"
+        df = spark.createDataFrame([("c", frame)], "conv_id string, buf binary")
+        frames = split_octet_counted(df, binary=True, out_col="raw")
+        # frames whose payload starts with 'z' go through uncompress
+        restored = with_uncompressed(
+            frames.select("conv_id", "frame_idx", "raw"),
+            raw_col="raw", out_col="text",
+        )
+        got = {r["frame_idx"]: r["text"] for r in restored.collect()}
+        assert got[1] == "<13>raw"
+        assert got[0] == "<14>compressed msg"
