@@ -12,10 +12,14 @@ from rsyslog_spark.streaming.pipeline import (
     read_transcript_stream,
     stream_flagship,
 )
-from rsyslog_spark.streaming.stateful import streaming_repeat_suppression
+from rsyslog_spark.streaming.stateful import (
+    streaming_dyn_inc,
+    streaming_repeat_suppression,
+)
 
 __all__ = [
     "read_transcript_stream",
     "stream_flagship",
+    "streaming_dyn_inc",
     "streaming_repeat_suppression",
 ]

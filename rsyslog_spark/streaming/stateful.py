@@ -118,6 +118,14 @@ def streaming_dyn_inc(
     trade the reference makes too (a counter already emitted is never
     amended).
 
+    Nuance (verified e2e in test_streaming.TestWatermarkedDynInc):
+    Spark filters late EVENTS with the previous micro-batch's watermark
+    while EVICTING state with the current one — so a straggler landing
+    in the very batch where its window closes still counts, and only
+    rows arriving a batch later are dropped (visible in
+    numRowsDroppedByWatermark). One batch of grace, never amended
+    counters: the same contract, off by at most one trigger.
+
     Scale shape: streaming partial aggregation per micro-batch + state
     store keyed by (window, key) — Spark's native map-side combine, no
     custom state code.

@@ -131,3 +131,91 @@ class TestIdempotentReplay:
             for r in m.groupBy("sink").agg(F.sum("n").alias("total")).collect()
         }
         assert agg["archive"] == first == 900
+
+
+class TestWatermarkedDynInc:
+    def test_late_data_across_batches(self, spark, tmp_path):
+        """streaming_dyn_inc e2e over three micro-batches (VERDICT r02
+        #8): a late row INSIDE the watermark still counts, a row older
+        than the watermark is dropped (the emitted-counter-is-never-
+        amended trade dynstats.c makes), and closed windows emit as the
+        watermark passes their end."""
+        from rsyslog_spark.streaming import streaming_dyn_inc
+
+        d = tmp_path / "src"
+        schema = "conv_id string, turn_idx int, role string, ts timestamp"
+
+        def _write(rows):
+            spark.createDataFrame(
+                rows, "conv_id string, turn_idx int, role string, ts string"
+            ).withColumn("ts", F.col("ts").cast("timestamp")).coalesce(
+                1
+            ).write.parquet(str(d), mode="append")
+
+        # batch 1: two rows in W0 [10:00,10:10), one in W1 [10:10,10:20),
+        # plus an event-time advancer at 10:25 -> watermark after this
+        # batch = 10:25 - 10min = 10:15 (W0 closed)
+        _write([
+            ("c", 0, "user", "2024-01-05 10:00:30"),
+            ("c", 1, "user", "2024-01-05 10:05:00"),
+            ("c", 2, "user", "2024-01-05 10:12:00"),
+            ("c", 3, "user", "2024-01-05 10:25:00"),
+        ])
+        # batch 2: 10:17 is late (watermark 10:15) but its window W1 is
+        # still open -> COUNTS; advancer to 10:40 pushes the watermark
+        # to 10:30 (closing W1 and W2)
+        _write([
+            ("c", 4, "user", "2024-01-05 10:17:00"),
+            ("c", 6, "user", "2024-01-05 10:40:00"),
+        ])
+        # batch 3: 10:02 is a straggler whose window W0 closed a batch
+        # ago -> DROPPED (Spark filters late events with the PREVIOUS
+        # batch's watermark, 10:30 here — one-batch lag by design, so a
+        # same-batch closure still counts; verified via
+        # numRowsDroppedByWatermark); advancer to 11:05 pushes the
+        # final watermark to 10:55, past W3's end
+        _write([
+            ("c", 5, "user", "2024-01-05 10:02:00"),
+            ("c", 7, "user", "2024-01-05 11:05:00"),
+        ])
+
+        src = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(d))
+        )
+        out = streaming_dyn_inc(
+            src, "roles", "role", ts_col="ts", interval_s=600,
+            watermark="10 minutes",
+        )
+        q = (
+            out.writeStream.format("memory")
+            .queryName("dyn_out")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        dropped = sum(
+            p.get("stateOperators", [{}])[0].get(
+                "numRowsDroppedByWatermark", 0
+            )
+            for p in q.recentProgress
+        )
+        got = {
+            str(r["window_start"]): r["count"]
+            for r in spark.sql("select * from dyn_out").collect()
+        }
+        # the 10:02 straggler was dropped by the watermark filter
+        assert dropped == 1
+        # W0: 2 rows (straggler NOT amended into the emitted counter)
+        assert got["2024-01-05 10:00:00"] == 2
+        # W1: 10:12 (on time) + 10:17 (late but inside watermark)
+        assert got["2024-01-05 10:10:00"] == 2
+        # W2: the 10:25 advancer row
+        assert got["2024-01-05 10:20:00"] == 1
+        # W3 (10:40) emitted in the final no-data batch once the
+        # watermark reached 10:55, past its 10:50 end (the 11:05
+        # advancer's own window stays open — state stays bounded)
+        assert got["2024-01-05 10:40:00"] == 1
