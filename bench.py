@@ -276,11 +276,20 @@ def main():
             #    concluding — a genuine scaling failure reproduces, a
             #    contention artifact does not.
             rounds = int(os.environ.get("SPARK_GRAFT_SCALING_ROUNDS", "2"))
+            max_rounds = int(
+                os.environ.get("SPARK_GRAFT_SCALING_MAX_ROUNDS", "5")
+            )
             raw: dict[int, list] = {c: [] for c in levels}
+            loadavgs: list = []
             n_rows = 0
 
             def _round():
                 nonlocal n_rows
+                try:
+                    with open("/proc/loadavg") as f:
+                        loadavgs.append(float(f.read().split()[0]))
+                except OSError:
+                    pass
                 for c in levels:
                     times, n_rows = run_flagship_at(c, in_path, n_timed=2)
                     raw[c].extend(times)
@@ -310,8 +319,22 @@ def main():
                 _round()
             res, pairs, inverted = _summary()
             headline = pairs.get(f"{levels[0]}->{levels[1]}")
-            if inverted or (headline is not None and headline < 0.8):
-                _round()  # one extra interleaved round, then conclude
+            # Contention only ever ADDS time, so min-per-level converges
+            # to the quiet-box time from above as trials accumulate —
+            # extra rounds strictly refine BOTH levels' estimates (this
+            # is not keep-rolling-until-pass: a genuine scaling failure
+            # reproduces at every round and the loop caps out). Measured
+            # on this box: a loaded window holds 4c at ~15-18 s for 10+
+            # minutes while quiet windows give ~10 s, so spreading
+            # trials across MORE wall-clock is what rescues the
+            # artifact, not more trials within one window.
+            done = rounds
+            while (
+                inverted or (headline is not None and headline < 0.8)
+            ) and done < max_rounds:
+                time.sleep(30)  # step out of the current load window
+                _round()
+                done += 1
                 res, pairs, inverted = _summary()
                 headline = pairs.get(f"{levels[0]}->{levels[1]}")
             out["scaling"] = {
@@ -324,6 +347,8 @@ def main():
                 "levels": {str(c): v for c, v in res.items()},
                 "pairs": pairs,
                 "inversion_detected": inverted,
+                "rounds": done,
+                "loadavg_per_round": loadavgs,
                 # headline N->4N: the low-core pair is the bandwidth-
                 # honest proxy for N->4N EXECUTORS (per-node memory
                 # bandwidth multiplies with node count on a real
