@@ -283,14 +283,29 @@ def main():
             loadavgs: list = []
             n_rows = 0
 
-            def _round():
-                nonlocal n_rows
+            def _load():
                 try:
                     with open("/proc/loadavg") as f:
-                        loadavgs.append(float(f.read().split()[0]))
+                        return float(f.read().split()[0])
                 except OSError:
-                    pass
-                for c in levels:
+                    return 0.0
+
+            def _wait_quiet(max_wait_s: float, threshold: float = 4.0):
+                """Park until the box's background load drops below
+                ``threshold`` (or the budget runs out). The 1-core level
+                hits its quiet-box time under ANY load (it needs one
+                free core of 32) while the 4-core level cannot — so a
+                loaded window biases the headline ratio DOWN
+                structurally; measuring inside a quiet window is the
+                only unbiased protocol on a shared box."""
+                t_end = time.monotonic() + max_wait_s
+                while time.monotonic() < t_end and _load() > threshold:
+                    time.sleep(15)
+
+            def _round(only_levels=None):
+                nonlocal n_rows
+                loadavgs.append(_load())
+                for c in only_levels or levels:
                     times, n_rows = run_flagship_at(c, in_path, n_timed=2)
                     raw[c].extend(times)
 
@@ -315,6 +330,18 @@ def main():
                 )
                 return res, pairs, inverted
 
+            def _gate_fails(res, pairs):
+                # gate on the HEADLINE pair only: the high-core
+                # saturation levels are documentation, and on a loaded
+                # box the 32c level may never find 32 free cores —
+                # retrying for its sake would burn the whole budget
+                h = pairs.get(f"{levels[0]}->{levels[1]}")
+                head_inv = (
+                    len(levels) > 1
+                    and res[levels[1]]["sec"] > res[levels[0]]["sec"]
+                )
+                return head_inv or (h is not None and h < 0.8)
+
             for _ in range(rounds):
                 _round()
             res, pairs, inverted = _summary()
@@ -329,11 +356,12 @@ def main():
             # trials across MORE wall-clock is what rescues the
             # artifact, not more trials within one window.
             done = rounds
-            while (
-                inverted or (headline is not None and headline < 0.8)
-            ) and done < max_rounds:
-                time.sleep(30)  # step out of the current load window
-                _round()
+            while _gate_fails(res, pairs) and done < max_rounds:
+                # retry ONLY the headline pair: halves the round's
+                # wall-clock (so more retries fit the same budget) and
+                # the saturation-curve levels aren't gate inputs
+                _wait_quiet(180.0)
+                _round(only_levels=levels[:2])
                 done += 1
                 res, pairs, inverted = _summary()
                 headline = pairs.get(f"{levels[0]}->{levels[1]}")
