@@ -775,9 +775,11 @@ def q_dedup_minhash(spark, sf_dir):
     )
 
     # the shingle frame feeds 4 subtrees (sigs + both co-join sides +
-    # sizes); persist so one execution computes it once
+    # sizes); persist so one execution computes it once. sigs feeds 3
+    # subtrees of its own (the sig facet + both candidate-join sides):
+    # persisting it saves two recomputations of its groupBy shuffle
     sh = shingles(_docs(spark, sf_dir)).persist()
-    sigs = minhash_signatures(sh)
+    sigs = minhash_signatures(sh).persist()
     pairs = jaccard_pairs(sh, pairs=minhash_candidate_pairs(sigs))
     sig_rows = sigs.select(
         F.lit("sig").alias("facet"),

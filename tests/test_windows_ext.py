@@ -320,3 +320,21 @@ class TestFraming:
         got = {r["frame_idx"]: r["text"] for r in restored.collect()}
         assert got[1] == "<13>raw"
         assert got[0] == "<14>compressed msg"
+
+    def test_legacy_config_line_bre(self, spark):
+        # the documented rsyslog legacy form ':msg, regex, "..."' is a
+        # POSIX BRE pattern (regcomp without REG_EXTENDED): escaped
+        # parens/pipe are operators, bare ones literals
+        from rsyslog_spark.config import compile_config
+
+        df = spark.createDataFrame(
+            [(1, "fatal error on disk"), (2, "fatal failure"),
+             (3, "fatal (error) literal"), (4, "all fine")],
+            "i int, msg string",
+        )
+        conf = r''':msg, regex, "fatal \(error\|failure\)" /var/log/bad.log'''
+        ann, actions = compile_config(df, conf)
+        assert actions[0].sink == "bad"
+        got = {r["i"] for r in ann.filter(F.col(actions[0].pred_col))
+               .select("i").collect()}
+        assert got == {1, 2}
