@@ -889,6 +889,33 @@ def q_embedding_lsh_topk(spark, sf_dir):
     return topk_lsh(e, e.filter(F.col("vec_id") < 10), k=5)
 
 
+def q_embedding_ivf_topk(spark, sf_dir):
+    """IVF approximate top-k — the brief's second ANN scale path next
+    to sign-LSH: 16 deterministic hash-chosen anchor centroids, exact
+    int64 argmax assignment (corpus nprobe=1, queries nprobe=2), exact
+    cosine + rank inside the probed inverted lists. The oracle
+    recomputes the identical integer assignment."""
+    import numpy as np
+
+    from rsyslog_spark.dataops.similarity import ivf_anchor_ids, topk_ivf
+
+    e = _embs(spark, sf_dir)
+    anchors = ivf_anchor_ids(e, 16)
+    vecs = {
+        r["vec_id"]: r["embedding"]
+        for r in e.filter(F.col("vec_id").isin(anchors)).collect()
+    }
+    cents = np.array(
+        [
+            np.floor(np.asarray(vecs[i], dtype=np.float64) * 1000 + 0.5)
+            for i in anchors
+        ],
+        dtype=np.int64,
+    )
+    return topk_ivf(e, e.filter(F.col("vec_id") < 10), cents,
+                    k=5, nprobe=4)
+
+
 def q_textstats(spark, sf_dir):
     """All four text-curation operators in one driver row
     (consolidated): language-ID scores + prediction, quality features +
@@ -990,6 +1017,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk": q_embedding_topk,
         "embedding_neardup": q_embedding_neardup,
         "embedding_lsh_topk": q_embedding_lsh_topk,
+        "embedding_ivf_topk": q_embedding_ivf_topk,
         "textstats": q_textstats,
         "multimodal": q_multimodal,
     }
@@ -1546,6 +1574,35 @@ def oracle_sql() -> dict[str, str]:
         "c.vec_id) AS rank "
         "FROM nb q JOIN nb c ON q.bucket = c.bucket "
         "AND q.vec_id <> c.vec_id WHERE q.vec_id < 10) WHERE rank <= 5"
+    )
+    # IVF: hash-chosen anchors -> centroids (quantized int vectors),
+    # exact int64 argmax assignment, probed-list join — mirrors
+    # similarity.ivf_anchor_ids/ivf_assignments bit-for-bit
+    o["embedding_ivf_topk"] = (
+        f"WITH {_E}, {_QV}, "
+        "ranked AS (SELECT vec_id, row_number() OVER "
+        "(ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cid "
+        "FROM e), "
+        "cents AS (SELECT r.cid, qv.q AS cv FROM ranked r "
+        "JOIN qv ON r.vec_id = qv.vec_id WHERE r.cid < 16), "
+        "score AS (SELECT v.vec_id, c.cid, "
+        "list_dot_product(CAST(v.q AS DOUBLE[]), CAST(c.cv AS DOUBLE[])) "
+        "AS s FROM qv v CROSS JOIN cents c), "
+        "ranked_s AS (SELECT vec_id, cid, row_number() OVER "
+        "(PARTITION BY vec_id ORDER BY s DESC, cid) AS rn FROM score), "
+        "cassign AS (SELECT vec_id, cid FROM ranked_s WHERE rn = 1), "
+        "qassign AS (SELECT vec_id, cid FROM ranked_s "
+        "WHERE rn <= 4 AND vec_id < 10) "
+        "SELECT qid, nid, cos, rank FROM ("
+        "SELECT qa.vec_id AS qid, ca.vec_id AS nid, "
+        "round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 4) AS cos, "
+        "row_number() OVER (PARTITION BY qa.vec_id ORDER BY "
+        "round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 4) DESC, "
+        "ca.vec_id) AS rank "
+        "FROM qassign qa JOIN cassign ca ON qa.cid = ca.cid "
+        "AND qa.vec_id <> ca.vec_id "
+        "JOIN n q ON qa.vec_id = q.vec_id "
+        "JOIN n c ON ca.vec_id = c.vec_id) WHERE rank <= 5"
     )
     _W = (
         "tw AS (SELECT doc_id, string_split_regex(lower(text), ' +') AS w, "

@@ -141,6 +141,40 @@ class TestSimilarity:
         assert {k: int(v, 2) for k, v in ref.items()} == fast
 
 
+    def test_ivf_topk_probes_cover_neighbors(self, vecs):
+        import numpy as np
+
+        anchors = similarity.ivf_anchor_ids(vecs, 2)
+        rows = {r["vec_id"]: r["embedding"] for r in vecs.collect()}
+        cents = np.array(
+            [np.floor(np.asarray(rows[i], dtype=np.float64) * 1000 + 0.5)
+             for i in anchors], dtype=np.int64)
+        out = similarity.topk_ivf(
+            vecs, vecs.filter("vec_id = 0"), cents, k=3, nprobe=2
+        ).orderBy("rank").collect()
+        # nprobe = n_lists here, so IVF degrades to exact: same order
+        # as brute force
+        assert [r["nid"] for r in out] == [1, 2, 3]
+
+    def test_ivf_assignment_deterministic(self, vecs):
+        import numpy as np
+
+        anchors = similarity.ivf_anchor_ids(vecs, 2)
+        rows = {r["vec_id"]: r["embedding"] for r in vecs.collect()}
+        cents = np.array(
+            [np.floor(np.asarray(rows[i], dtype=np.float64) * 1000 + 0.5)
+             for i in anchors], dtype=np.int64)
+        a1 = sorted(
+            (r["vec_id"], r["cid"])
+            for r in similarity.ivf_assignments(vecs, cents).collect()
+        )
+        a2 = sorted(
+            (r["vec_id"], r["cid"])
+            for r in similarity.ivf_assignments(vecs, cents).collect()
+        )
+        assert a1 == a2 and len(a1) == vecs.count()
+
+
 class TestTextstats:
     def test_lang_id_pred(self, spark):
         df = spark.createDataFrame(
