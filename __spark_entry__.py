@@ -650,7 +650,8 @@ def q_rate_limit_severity(spark, sf_dir):
 _CONF_FO = """
 ruleset(name="fo") {
     if $syslogseverity <= 3 then {
-        action(type="omfile" file="/log/pri_crit.log")
+        action(type="omfile" file="/log/pri_crit.log"
+               action.errorfile="/log/err_crit.log")
         action(type="omfile" file="/log/alt_crit.log"
                action.execOnlyWhenPreviousIsSuspended="on")
     }
@@ -665,8 +666,10 @@ def q_failover(spark, sf_dir):
     """Action suspension + execOnlyWhenPreviousIsSuspended failover
     (action.c:1812-1815; reference tests
     execonlywhenpreviousissuspended*.sh): pri_crit is marked down, so
-    its failover alt_crit receives exactly the crit-path rows; pri_all
-    is healthy, so alt_all receives nothing (absent from counts)."""
+    its failover alt_crit receives exactly the crit-path rows AND its
+    action.errorfile (actionWriteErrorFile JSON capture,
+    action.c:1410-1466) records the same rows; pri_all is healthy, so
+    alt_all receives nothing (absent from counts)."""
     from rsyslog_spark.config import compile_config
 
     ann, actions = compile_config(
@@ -1322,6 +1325,8 @@ def oracle_sql() -> dict[str, str]:
     # ranked among limited rows only); sev < 4 always kept
     o["failover"] = with_parsed_oracle(
         "SELECT 'alt_crit' AS sink, count(*) AS n FROM p "
+        "WHERE syslogseverity <= 3 "
+        "UNION ALL SELECT 'err_crit', count(*) FROM p "
         "WHERE syslogseverity <= 3 "
         "UNION ALL SELECT 'pri_all', count(*) FROM p"
     )

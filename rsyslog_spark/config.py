@@ -416,6 +416,12 @@ class _Parser:
         eowps = (
             p.get("action.execonlywhenpreviousissuspended", "off") == "on"
         )
+        # action.errorfile (action.c:200): JSON capture of events a
+        # failed/suspended action could not deliver
+        errf = p.get("action.errorfile")
+        errf = (
+            os.path.splitext(os.path.basename(errf))[0] if errf else None
+        )
         tpl = p.get("template")
         if tpl:
             tpl_text = self.cfg.templates.get(tpl, BUILTIN_TEMPLATES.get(tpl))
@@ -424,9 +430,9 @@ class _Parser:
             self.cfg.sink_templates[sink] = tpl
             return Action(
                 sink, compile_template(tpl_text),
-                exec_when_prev_suspended=eowps,
+                exec_when_prev_suspended=eowps, errorfile=errf,
             )
-        return Action(sink, exec_when_prev_suspended=eowps)
+        return Action(sink, exec_when_prev_suspended=eowps, errorfile=errf)
 
     # -- expressions -----------------------------------------------------
     # Reference precedence (grammar.y:120-124), lowest to highest:

@@ -82,6 +82,11 @@ class Action:
     # textual order is suspended — the standard failover-chain pattern
     # (reference tests execonlywhenpreviousissuspended*.sh)
     exec_when_prev_suspended: bool = False
+    # action.errorfile (action.c:200, actionWriteErrorFile :1410-1466):
+    # permanently-failed events are captured as JSON lines
+    # {"action": name, "status": code, "template0": rendered}; here a
+    # suspended action's attempted rows flow to this error sink
+    errorfile: str | None = None
 
 
 @dataclass
@@ -386,6 +391,29 @@ class RouteCompiler:
                     else F.lit(False)
                 )
                 self._emit_action(st, pred)
+                if attempts and suspended and st.errorfile:
+                    # actionWriteErrorFile (action.c:1410-1466): one
+                    # JSON line per failed event — action name, status
+                    # (RS_RET_SUSPENDED -2007), rendered template
+                    tpl = (
+                        st.template
+                        if isinstance(st.template, Column)
+                        else (
+                            compile_template(st.template)
+                            if st.template is not None
+                            else F.col("msg")
+                        )
+                    )
+                    err_line = F.to_json(
+                        F.struct(
+                            F.lit(st.sink).alias("action"),
+                            F.lit(-2007).alias("status"),
+                            tpl.alias("template0"),
+                        )
+                    )
+                    self._emit_action(
+                        Action(st.errorfile, err_line), path & ~stopped
+                    )
                 if attempts:
                     self._prev_suspended = suspended
             elif isinstance(st, Stop):

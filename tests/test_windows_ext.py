@@ -338,3 +338,35 @@ class TestFraming:
         got = {r["i"] for r in ann.filter(F.col(actions[0].pred_col))
                .select("i").collect()}
         assert got == {1, 2}
+
+    def test_errorfile_json_capture(self, spark):
+        # actionWriteErrorFile (action.c:1410-1466): a suspended
+        # action's attempted rows land in its errorfile as JSON lines
+        # {"action", "status" (RS_RET_SUSPENDED -2007), "template0"}
+        import json
+
+        from rsyslog_spark.config import compile_config
+
+        df = spark.createDataFrame(
+            [(1, "hello"), (2, "world")], "i int, msg string"
+        )
+        conf = """
+        ruleset(name="fo") {
+            action(type="omfile" file="/x/pri.log"
+                   action.errorfile="/x/err.log")
+        }
+        """
+        ann, actions = compile_config(df, conf, entry="fo",
+                                      suspended_sinks={"pri"})
+        by_sink = {a.sink: a for a in actions}
+        assert ann.filter(F.col(by_sink["pri"].pred_col)).count() == 0
+        err = by_sink["err"]
+        rows = [json.loads(r[err.out_col])
+                for r in err.output(ann).select(err.out_col).collect()]
+        assert len(rows) == 2
+        assert all(r["action"] == "pri" and r["status"] == -2007
+                   for r in rows)
+        assert {r["template0"] for r in rows} == {"hello", "world"}
+        # healthy action: no errorfile action is emitted at all
+        _, actions2 = compile_config(df, conf, entry="fo")
+        assert all(a.sink != "err" for a in actions2)
