@@ -919,6 +919,23 @@ def q_embedding_ivf_topk(spark, sf_dir):
                     k=5, nprobe=4)
 
 
+def q_embedding_ann(spark, sf_dir):
+    """All three similarity-search strategies in ONE driver row
+    (consolidated r3 so new operators fit the driver's 50-query
+    window): exact brute-force top-k (the baseline), sign-LSH
+    bucketed top-k and IVF inverted-list top-k (the two approximate
+    scale paths). One `method` facet column per strategy; each facet
+    keeps its exact former shape (qid, nid, cos, rank)."""
+    brute = q_embedding_topk(spark, sf_dir)
+    lsh = q_embedding_lsh_topk(spark, sf_dir)
+    ivf = q_embedding_ivf_topk(spark, sf_dir)
+    return (
+        brute.select(F.lit("brute").alias("method"), "*")
+        .unionByName(lsh.select(F.lit("lsh").alias("method"), "*"))
+        .unionByName(ivf.select(F.lit("ivf").alias("method"), "*"))
+    )
+
+
 def q_textstats(spark, sf_dir):
     """All four text-curation operators in one driver row
     (consolidated): language-ID scores + prediction, quality features +
@@ -1017,10 +1034,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash": q_dedup_minhash,
         "ngram_jaccard": q_ngram_jaccard,
         "dedup_simhash": q_dedup_simhash,
-        "embedding_topk": q_embedding_topk,
+        "embedding_ann": q_embedding_ann,
         "embedding_neardup": q_embedding_neardup,
-        "embedding_lsh_topk": q_embedding_lsh_topk,
-        "embedding_ivf_topk": q_embedding_ivf_topk,
         "textstats": q_textstats,
         "multimodal": q_multimodal,
     }
@@ -1499,7 +1514,7 @@ def oracle_sql() -> dict[str, str]:
         "FROM embeddings), "
         "n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e)"
     )
-    o["embedding_topk"] = (
+    _sql_brute = (
         f"WITH {_E} SELECT qid, nid, cos, rank FROM ("
         "SELECT q.vec_id AS qid, c.vec_id AS nid, "
         "round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 4) AS cos, "
@@ -1567,7 +1582,7 @@ def oracle_sql() -> dict[str, str]:
         "JOIN n na ON cand.a = na.vec_id "
         "JOIN n nb ON cand.b = nb.vec_id) WHERE cos >= 0.9"
     )
-    o["embedding_lsh_topk"] = (
+    _sql_lsh = (
         f"WITH {_E}, {_QV}, {_hyper('hyper', 1, 6)}, {_BKT_STR}, "
         "nb AS (SELECT n.vec_id, n.v, n.nrm, bkt.bucket FROM n "
         "JOIN bkt ON n.vec_id = bkt.vec_id) "
@@ -1583,7 +1598,7 @@ def oracle_sql() -> dict[str, str]:
     # IVF: hash-chosen anchors -> centroids (quantized int vectors),
     # exact int64 argmax assignment, probed-list join — mirrors
     # similarity.ivf_anchor_ids/ivf_assignments bit-for-bit
-    o["embedding_ivf_topk"] = (
+    _sql_ivf = (
         f"WITH {_E}, {_QV}, "
         "ranked AS (SELECT vec_id, row_number() OVER "
         "(ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cid "
@@ -1608,6 +1623,11 @@ def oracle_sql() -> dict[str, str]:
         "AND qa.vec_id <> ca.vec_id "
         "JOIN n q ON qa.vec_id = q.vec_id "
         "JOIN n c ON ca.vec_id = c.vec_id) WHERE rank <= 5"
+    )
+    o["embedding_ann"] = (
+        f"SELECT 'brute' AS method, * FROM ({_sql_brute}) "
+        f"UNION ALL SELECT 'lsh', * FROM ({_sql_lsh}) "
+        f"UNION ALL SELECT 'ivf', * FROM ({_sql_ivf})"
     )
     _W = (
         "tw AS (SELECT doc_id, string_split_regex(lower(text), ' +') AS w, "
