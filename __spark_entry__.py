@@ -919,6 +919,29 @@ def q_embedding_ivf_topk(spark, sf_dir):
                     k=5, nprobe=4)
 
 
+def q_dup_clusters(spark, sf_dir):
+    """Transitive duplicate clusters over verified MinHash near-dup
+    pairs (dataops/cluster.py: alternating large-star/small-star CC,
+    Kiveris et al. SoCC 2014). The iterative loop is non-SQL; its
+    RESULT is — the oracle recomputes every label with a recursive
+    reachability CTE, so the gate value-checks cluster ids, sizes and
+    the canonical keep flag."""
+    from rsyslog_spark.dataops.cluster import dup_clusters
+    from rsyslog_spark.dataops.dedup import (
+        jaccard_pairs,
+        minhash_candidate_pairs,
+        minhash_signatures,
+        shingles,
+    )
+
+    sh = shingles(_docs(spark, sf_dir)).persist()
+    pairs = jaccard_pairs(
+        sh, pairs=minhash_candidate_pairs(minhash_signatures(sh)),
+        threshold=0.05,
+    )
+    return dup_clusters(pairs)
+
+
 def q_embedding_ann(spark, sf_dir):
     """All three similarity-search strategies in ONE driver row
     (consolidated r3 so new operators fit the driver's 50-query
@@ -1033,6 +1056,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_minhash": q_dedup_minhash,
         "ngram_jaccard": q_ngram_jaccard,
+        "dup_clusters": q_dup_clusters,
         "dedup_simhash": q_dedup_simhash,
         "embedding_ann": q_embedding_ann,
         "embedding_neardup": q_embedding_neardup,
@@ -1482,6 +1506,27 @@ def oracle_sql() -> dict[str, str]:
         f"WITH {_SH2}, {_SIGS}, {_CAND}, {_SIZES}, {_CO}, {_JAC} "
         "SELECT jac.* FROM jac JOIN cand ON jac.a = cand.a "
         "AND jac.b = cand.b WHERE jac.jac >= 0.05"
+    )
+    # dup_clusters: same k=3 minhash pair chain as dedup_minhash, then
+    # component labels via recursive reachability (min reachable id) —
+    # the closed-form twin of the Spark side's large/small-star loop
+    o["dup_clusters"] = (
+        f"WITH RECURSIVE {_SH}, {_SIGS}, {_CAND}, {_SIZES}, {_CO}, "
+        f"{_JAC}, "
+        "px AS (SELECT jac.a, jac.b FROM jac JOIN cand "
+        "ON jac.a = cand.a AND jac.b = cand.b WHERE jac.jac >= 0.05), "
+        "edges AS (SELECT a AS u, b AS v FROM px "
+        "UNION ALL SELECT b, a FROM px), "
+        "reach AS (SELECT u AS v, u AS r FROM edges "
+        "UNION SELECT e.v, reach.r FROM edges e "
+        "JOIN reach ON e.u = reach.v), "
+        "comp AS (SELECT v AS doc_id, min(r) AS cluster_id "
+        "FROM reach GROUP BY v), "
+        "sz AS (SELECT cluster_id, count(*) AS csize FROM comp "
+        "GROUP BY cluster_id) "
+        "SELECT c.doc_id, c.cluster_id, sz.csize, "
+        "c.doc_id = c.cluster_id AS keep "
+        "FROM comp c JOIN sz ON c.cluster_id = sz.cluster_id"
     )
     _BITS = (
         "bits AS (SELECT id, k, sum(2 * (((instr('0123456789abcdef', "
