@@ -919,6 +919,71 @@ def q_embedding_ivf_topk(spark, sf_dir):
                     k=5, nprobe=4)
 
 
+_SAMPLE_RATES = {"en": 0.5, "zh": 0.9, "fr": 0.25}   # default 1.0
+_MIX_WEIGHTS = {"en": 0.5, "es": 2.5, "zh": 0.0}     # default 1.0
+
+
+def q_sample_mix(spark, sf_dir):
+    """Deterministic stratified sampling + weighted dataset mixing
+    (dataops/sampling.py): per-language keep decisions from an exact
+    integer hash gate, and per-language epoch factors materialized as
+    copy rows (floor(w) + one Bernoulli unit -> expectation exactly w).
+    Facet 'sample' = keep flags; facet 'mix' = (doc, copy) plan."""
+    from rsyslog_spark.dataops.sampling import (
+        stratified_sample,
+        weighted_mix,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "lang"
+    )
+    s = stratified_sample(docs, _SAMPLE_RATES, default_rate=1.0)
+    m = weighted_mix(docs, _MIX_WEIGHTS, default_weight=1.0)
+    sf = s.select(
+        F.lit("sample").alias("facet"), "doc_id", "lang", "samp_keep",
+        F.lit(None).cast("int").alias("copy"),
+    )
+    mf = m.select(
+        F.lit("mix").alias("facet"), "doc_id", "lang",
+        F.lit(None).cast("boolean").alias("samp_keep"), "copy",
+    )
+    return sf.unionByName(mf)
+
+
+def q_queue_discard(spark, sf_dir):
+    """queue.discardMark / queue.discardSeverity (qqueueChkDiscardMsg,
+    runtime/queue.c:1605-1630) modeled per ingest-burst window — see
+    rsyslog_spark/queue.py for the proof that the sequential enqueue
+    recurrence collapses to one window expression. Two facets: 'row' =
+    per-message keep/discard outcome, 'win' = the nearfull-discard
+    counter (ctrNFDscrd, queue.c:1618) per burst window."""
+    from rsyslog_spark.queue import queue_discard, queue_discard_stats
+
+    p = _parsed(spark, sf_dir)
+    flagged = queue_discard(p, discard_mark=30, discard_severity=5)
+    rowf = flagged.select(
+        F.lit("row").alias("facet"),
+        "conv_id",
+        "turn_idx",
+        "q_win",
+        "q_pos",
+        "q_keep",
+        F.lit(None).cast("long").alias("enqueued"),
+        F.lit(None).cast("long").alias("discarded"),
+    )
+    winf = queue_discard_stats(p, 30, 5).select(
+        F.lit("win").alias("facet"),
+        F.lit(None).cast("string").alias("conv_id"),
+        F.lit(None).cast("int").alias("turn_idx"),
+        "q_win",
+        F.lit(None).cast("long").alias("q_pos"),
+        F.lit(None).cast("boolean").alias("q_keep"),
+        "enqueued",
+        "discarded",
+    )
+    return rowf.unionByName(winf)
+
+
 def q_dup_clusters(spark, sf_dir):
     """Transitive duplicate clusters over verified MinHash near-dup
     pairs (dataops/cluster.py: alternating large-star/small-star CC,
@@ -1050,6 +1115,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "failover": q_failover,
         "bre_propfilt": q_bre_propfilt,
         "octet_framing": q_octet_framing,
+        "queue_discard": q_queue_discard,
         "template_options": q_template_options,
         "mm_rewrite": q_mm_rewrite,
         "dyn_inc_capped": q_dyn_inc_capped,
@@ -1057,6 +1123,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash": q_dedup_minhash,
         "ngram_jaccard": q_ngram_jaccard,
         "dup_clusters": q_dup_clusters,
+        "sample_mix": q_sample_mix,
         "dedup_simhash": q_dedup_simhash,
         "embedding_ann": q_embedding_ann,
         "embedding_neardup": q_embedding_neardup,
@@ -1383,6 +1450,26 @@ def oracle_sql() -> dict[str, str]:
         "(PARTITION BY conv_id ORDER BY turn_idx) - 1 AS BIGINT), text, "
         "'stuffed' FROM t0"
     )
+    _QROW = (
+        "(SELECT conv_id, turn_idx, "
+        "CAST(floor(epoch(ts) / 60) AS BIGINT) AS q_win, "
+        "CAST(row_number() OVER (PARTITION BY "
+        "CAST(floor(epoch(ts) / 60) AS BIGINT) "
+        "ORDER BY ts, conv_id, turn_idx) AS BIGINT) AS q_pos, "
+        "syslogseverity AS sev FROM p) rowf"
+    )
+    o["queue_discard"] = with_parsed_oracle(
+        "SELECT 'row' AS facet, conv_id, turn_idx, q_win, q_pos, "
+        "(sev < 5 OR q_pos <= 30) AS q_keep, "
+        "CAST(NULL AS BIGINT) AS enqueued, "
+        "CAST(NULL AS BIGINT) AS discarded "
+        f"FROM {_QROW} "
+        "UNION ALL SELECT 'win', CAST(NULL AS VARCHAR), "
+        "CAST(NULL AS INTEGER), q_win, CAST(NULL AS BIGINT), "
+        "CAST(NULL AS BOOLEAN), count(*), "
+        "sum(CASE WHEN NOT (sev < 5 OR q_pos <= 30) THEN 1 ELSE 0 END) "
+        f"FROM {_QROW} GROUP BY q_win"
+    )
     o["sys_time_props"] = with_parsed_oracle(
         "SELECT i, strftime(ts, '%Y-%m-%d') || ' ' || "
         "strftime(ts, '%H:%M') || ' h' || "
@@ -1506,6 +1593,35 @@ def oracle_sql() -> dict[str, str]:
         f"WITH {_SH2}, {_SIGS}, {_CAND}, {_SIZES}, {_CO}, {_JAC} "
         "SELECT jac.* FROM jac JOIN cand ON jac.a = cand.a "
         "AND jac.b = cand.b WHERE jac.jac >= 0.05"
+    )
+    # sample_mix: same integer md5 hash gate as sampling.py — the
+    # thresholds are the IDENTICAL python-computed constants
+    from rsyslog_spark.dataops.sampling import threshold as _thr
+
+    def _h(salt):
+        return (
+            f"CAST(concat('0x', substr(md5('{salt}:' || "
+            "CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)"
+        )
+
+    def _case(vals: dict, default, f):
+        cases = " ".join(
+            f"WHEN '{k}' THEN {f(v)}" for k, v in sorted(vals.items())
+        )
+        return f"(CASE lang {cases} ELSE {f(default)} END)"
+
+    _samp_thr = _case(_SAMPLE_RATES, 1.0, lambda r: _thr(r))
+    _mix_whole = _case(_MIX_WEIGHTS, 1.0, lambda w: int(w))
+    _mix_frac = _case(_MIX_WEIGHTS, 1.0, lambda w: _thr(w - int(w)))
+    o["sample_mix"] = (
+        "SELECT 'sample' AS facet, doc_id, lang, "
+        f"{_h('sample')} < {_samp_thr} AS samp_keep, "
+        "CAST(NULL AS INTEGER) AS copy FROM documents "
+        "UNION ALL SELECT 'mix', doc_id, lang, "
+        "CAST(NULL AS BOOLEAN), CAST(t.i AS INTEGER) FROM ("
+        f"SELECT doc_id, lang, {_mix_whole} + "
+        f"(CASE WHEN {_h('mix')} < {_mix_frac} THEN 1 ELSE 0 END) AS n "
+        "FROM documents) d, unnest(generate_series(0, d.n - 1)) t(i)"
     )
     # dup_clusters: same k=3 minhash pair chain as dedup_minhash, then
     # component labels via recursive reachability (min reachable id) —
