@@ -199,8 +199,16 @@ def q_asof_sev_bucket(spark, sf_dir):
     return out.select("i", "k", "bucket")
 
 
-def q_dyn_inc_programname(spark, sf_dir):
-    return A.dyn_inc(_ok(spark, sf_dir), "progs", "programname")
+def q_dyn_inc_counters(spark, sf_dir):
+    """dynstats counter buckets in one driver row (consolidated from
+    the former dyn_inc_programname + dyn_inc_capped pair): the plain
+    'progs' bucket (dyn_inc, rainerscript.c:2531-2550) and the
+    maxCardinality-capped 'hosts' bucket with its ops_overflow row
+    (dynstats.c:517) — same (name, key, count) schema, unioned."""
+    p = _ok(spark, sf_dir)
+    return A.dyn_inc(p, "progs", "programname").unionByName(
+        A.dyn_inc(p, "hosts", "hostname", max_cardinality=5)
+    )
 
 
 def q_mm_count_app_sev(spark, sf_dir):
@@ -404,12 +412,6 @@ def q_mm_rewrite(spark, sf_dir):
         F.element_at("norm", "first_word").alias("first_word"),
     )
     return anon.join(norm, on="i")
-
-
-def q_dyn_inc_capped(spark, sf_dir):
-    return A.dyn_inc(
-        _ok(spark, sf_dir), "hosts", "hostname", max_cardinality=5
-    )
 
 
 _CONF_FE = """
@@ -764,6 +766,21 @@ def q_dedup_exact(spark, sf_dir):
     return exact_dedup_groups(_docs(spark, sf_dir))
 
 
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (the GPT-3 appendix-C 13-gram overlap
+    heuristic): eval set = docs with doc_id %% 10 = 7; every corpus doc
+    reports its distinct-13-gram count, eval-hit count, hit fraction,
+    and the contaminated flag at threshold 0.8. engine='set': the eval
+    grams travel as a hashed broadcast set and the corpus side is ONE
+    shuffle-free mapInPandas pass — the only shape that works when the
+    corpus is 100 TB and the benchmark suite is megabytes."""
+    from rsyslog_spark.dataops.decontam import kgram_contamination
+
+    docs = _docs(spark, sf_dir)
+    ev = docs.filter(F.col("doc_id") % 10 == 7)
+    return kgram_contamination(docs, ev, k=13, threshold=0.8)
+
+
 def q_dedup_minhash(spark, sf_dir):
     """MinHash pipeline in one driver row (consolidated): the banded
     signatures facet ('sig' rows) AND the candidate-pair + exact-Jaccard
@@ -1028,24 +1045,29 @@ def q_textstats(spark, sf_dir):
     """All four text-curation operators in one driver row
     (consolidated): language-ID scores + prediction, quality features +
     composite score, whitespace/BPE-ish token counts (all chained
-    Column appenders — one scan, zero shuffles), plus the min-k
-    fingerprint (its own grouped plan) joined back per doc."""
+    Column appenders — one scan, zero shuffles), the min-k fingerprint
+    (its own grouped plan) joined back per doc, plus the Gopher-style
+    repetition signals (Rae et al. 2021 Table A1; one shuffle-free
+    mapInPandas pass) joined per doc."""
     from rsyslog_spark.dataops.textstats import (
         fingerprint,
         lang_id,
         quality_score,
+        repetition_stats,
         token_counts,
     )
 
     d = _docs(spark, sf_dir)
     flat = token_counts(quality_score(lang_id(d)))
     fp = fingerprint(d).withColumnRenamed("id", "doc_id")
-    return flat.join(fp, on="doc_id").select(
+    rep = repetition_stats(d).withColumnRenamed("id", "doc_id")
+    return flat.join(fp, on="doc_id").join(rep, on="doc_id").select(
         "doc_id",
         "score_en", "score_es", "score_fr", "score_de", "lang_pred",
         "n_tokens", "mean_tok_len", "punct_ratio", "stop_ratio", "quality",
         "ws_tokens", "bpe_tokens",
         "fp",
+        "top_tok_frac", "top2gram_char_frac", "dup5gram_char_frac",
     )
 
 
@@ -1091,7 +1113,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lookup_tool_class": q_lookup_tool_class,
         "asof_sev_bucket": q_asof_sev_bucket,
         "lookup_array": q_lookup_array,
-        "dyn_inc_programname": q_dyn_inc_programname,
+        "dyn_inc_counters": q_dyn_inc_counters,
         "mm_count_app_sev": q_mm_count_app_sev,
         "mm_sequence_conv": q_mm_sequence_conv,
         "seq_summary": q_seq_summary,
@@ -1118,8 +1140,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "queue_discard": q_queue_discard,
         "template_options": q_template_options,
         "mm_rewrite": q_mm_rewrite,
-        "dyn_inc_capped": q_dyn_inc_capped,
         "dedup_exact": q_dedup_exact,
+        "decontaminate": q_decontaminate,
         "dedup_minhash": q_dedup_minhash,
         "ngram_jaccard": q_ngram_jaccard,
         "dup_clusters": q_dup_clusters,
@@ -1231,9 +1253,21 @@ def oracle_sql() -> dict[str, str]:
         "WHEN i % 1500 >= 500 THEN 'high' "
         "WHEN i % 1500 >= 100 THEN 'mid' ELSE 'low' END AS bucket FROM t0"
     )
-    o["dyn_inc_programname"] = with_parsed_oracle(
+    o["dyn_inc_counters"] = with_parsed_oracle(
         "SELECT 'progs' AS name, programname AS key, count(*) AS count "
-        "FROM p WHERE parse_success GROUP BY programname"
+        "FROM p WHERE parse_success GROUP BY programname "
+        "UNION ALL "
+        'SELECT name, key, "count" FROM ('
+        'SELECT name, key, "count", row_number() OVER '
+        '(ORDER BY "count" DESC, key) AS rn FROM ('
+        "SELECT 'hosts' AS name, hostname AS key, count(*) AS \"count\" "
+        "FROM p WHERE parse_success GROUP BY hostname)) WHERE rn <= 5 "
+        "UNION ALL "
+        "SELECT 'hosts', 'ops_overflow', CAST(sum(\"count\") AS BIGINT) "
+        "FROM (SELECT \"count\", row_number() OVER (ORDER BY \"count\" "
+        "DESC, key) AS rn FROM (SELECT hostname AS key, count(*) AS "
+        '"count" FROM p WHERE parse_success GROUP BY hostname)) '
+        "WHERE rn > 5"
     )
     o["mm_count_app_sev"] = with_parsed_oracle(
         "SELECT programname, syslogseverity, count(*) AS count "
@@ -1511,19 +1545,6 @@ def oracle_sql() -> dict[str, str]:
         "regexp_extract(msg, '^ ?([a-z]+)', 1) AS first_word "
         "FROM p WHERE parse_success"
     )
-    o["dyn_inc_capped"] = with_parsed_oracle(
-        'SELECT name, key, "count" FROM ('
-        'SELECT name, key, "count", row_number() OVER '
-        '(ORDER BY "count" DESC, key) AS rn FROM ('
-        "SELECT 'hosts' AS name, hostname AS key, count(*) AS \"count\" "
-        "FROM p WHERE parse_success GROUP BY hostname)) WHERE rn <= 5 "
-        "UNION ALL "
-        "SELECT 'hosts', 'ops_overflow', CAST(sum(\"count\") AS BIGINT) "
-        "FROM (SELECT \"count\", row_number() OVER (ORDER BY \"count\" "
-        "DESC, key) AS rn FROM (SELECT hostname AS key, count(*) AS "
-        '"count" FROM p WHERE parse_success GROUP BY hostname)) '
-        "WHERE rn > 5"
-    )
     # --- dataops oracles ---------------------------------------------------
     _SH = (
         "toks AS (SELECT doc_id AS id, string_split(text, ' ') AS w "
@@ -1571,6 +1592,23 @@ def oracle_sql() -> dict[str, str]:
     o["dedup_exact"] = (
         "SELECT md5(text) AS content_hash, count(*) AS n, "
         "min(doc_id) AS keep_id FROM documents GROUP BY 1"
+    )
+    o["decontaminate"] = (
+        "WITH toks AS (SELECT doc_id AS id, string_split(text, ' ') AS w "
+        "FROM documents), "
+        "g AS (SELECT DISTINCT id, array_to_string(w[i:i+12], ' ') AS g "
+        "FROM toks, unnest(generate_series(1, len(w) - 12)) AS t(i)), "
+        "ev AS (SELECT DISTINCT g FROM g WHERE id % 10 = 7), "
+        "cnt AS (SELECT g.id, count(*) AS n_grams, count(ev.g) AS n_hit "
+        "FROM g LEFT JOIN ev ON g.g = ev.g GROUP BY g.id) "
+        "SELECT d.doc_id AS id, coalesce(cnt.n_grams, 0) AS n_grams, "
+        "coalesce(cnt.n_hit, 0) AS n_hit, "
+        "CASE WHEN coalesce(cnt.n_grams, 0) > 0 "
+        "THEN round(cnt.n_hit / cnt.n_grams, 6) ELSE 0.0 END AS frac, "
+        "CASE WHEN coalesce(cnt.n_grams, 0) > 0 "
+        "THEN round(cnt.n_hit / cnt.n_grams, 6) >= 0.8 "
+        "ELSE FALSE END AS contaminated "
+        "FROM documents d LEFT JOIN cnt ON cnt.id = d.doc_id"
     )
     o["dedup_minhash"] = (
         f"WITH {_SH}, {_SIGS}, {_CAND}, {_SIZES}, {_CO}, {_JAC} "
@@ -1827,7 +1865,29 @@ def oracle_sql() -> dict[str, str]:
         "r AS (SELECT id, h, row_number() OVER (PARTITION BY id "
         "ORDER BY h) AS rn FROM g), "
         "fpx AS (SELECT id, string_agg(h, '' ORDER BY h) AS fp FROM r "
-        "WHERE rn <= 4 GROUP BY id) "
+        "WHERE rn <= 4 GROUP BY id), "
+        # repetition signals: raw split(' ') tokenization (the dedup
+        # convention), non-space chars as the denominator
+        "rw AS (SELECT doc_id, string_split(text, ' ') AS rt, "
+        "length(replace(text, ' ', '')) AS tc FROM documents), "
+        "tkc AS (SELECT doc_id, rt[i] AS tok, count(*) AS c FROM rw, "
+        "unnest(generate_series(1, len(rt))) AS z(i) GROUP BY 1, 2), "
+        "ttf AS (SELECT doc_id, max(c) / CAST(sum(c) AS DOUBLE) "
+        "AS top_tok_frac FROM tkc GROUP BY doc_id), "
+        "g2c AS (SELECT doc_id, rt[i] || ' ' || rt[i+1] AS g, "
+        "count(*) AS c FROM rw, "
+        "unnest(generate_series(1, len(rt) - 1)) AS z(i) GROUP BY 1, 2), "
+        "g2t AS (SELECT doc_id, g, c, row_number() OVER (PARTITION BY "
+        "doc_id ORDER BY c DESC, g) AS rn FROM g2c), "
+        "t2f AS (SELECT g2t.doc_id, c * (length(g) - 1) / "
+        "CAST(rw.tc AS DOUBLE) AS top2gram_char_frac "
+        "FROM g2t JOIN rw USING (doc_id) WHERE rn = 1), "
+        "g5c AS (SELECT doc_id, array_to_string(rt[i:i+4], ' ') AS g, "
+        "count(*) AS c FROM rw, "
+        "unnest(generate_series(1, len(rt) - 4)) AS z(i) GROUP BY 1, 2), "
+        "d5f AS (SELECT g5c.doc_id, sum(c * (length(g) - 4)) / "
+        "CAST(any_value(rw.tc) AS DOUBLE) AS dup5gram_char_frac "
+        "FROM g5c JOIN rw USING (doc_id) WHERE c >= 2 GROUP BY g5c.doc_id) "
         "SELECT s.doc_id, s.score_en, s.score_es, s.score_fr, s.score_de, "
         f"CASE WHEN {_GREAT} = 0 THEN 'und' "
         f"WHEN score_de = {_GREAT} THEN 'de' "
@@ -1838,9 +1898,15 @@ def oracle_sql() -> dict[str, str]:
         "ELSE 0.0 END) + (1.0 - least(q.punct_ratio * 2, 1.0)) * 0.3 + "
         "least(q.stop_ratio * 5, 1.0) * 0.3) * 10000 + 0.5) / 10000 "
         "AS quality, "
-        "q.ws_tokens, q.bpe_tokens, fpx.fp "
+        "q.ws_tokens, q.bpe_tokens, fpx.fp, "
+        "ttf.top_tok_frac, coalesce(t2f.top2gram_char_frac, 0.0) "
+        "AS top2gram_char_frac, coalesce(d5f.dup5gram_char_frac, 0.0) "
+        "AS dup5gram_char_frac "
         "FROM s JOIN q ON s.doc_id = q.doc_id "
-        "JOIN fpx ON s.doc_id = fpx.id"
+        "JOIN fpx ON s.doc_id = fpx.id "
+        "JOIN ttf ON s.doc_id = ttf.doc_id "
+        "LEFT JOIN t2f ON s.doc_id = t2f.doc_id "
+        "LEFT JOIN d5f ON s.doc_id = d5f.doc_id"
     )
     _BYTE = (
         "((instr('0123456789abcdef', substr(md5(text), {p1}, 1)) - 1) * 16 "

@@ -140,3 +140,85 @@ def fingerprint(
         .agg(F.sort_array(F.collect_list("h")).alias("hs"))
         .select("id", F.concat_ws("", "hs").alias("fp"))
     )
+
+
+def repetition_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style repetition quality signals (Rae et al. 2021,
+    Table A1 repetition filters), re-derived for single-line word-stream
+    documents — (id, top_tok_frac, top2gram_char_frac,
+    dup5gram_char_frac):
+
+    - top_tok_frac: occurrences of the most frequent token / total
+      tokens (Gopher cuts at > 0.2 for the most common *word*).
+    - top2gram_char_frac: characters covered by the most frequent token
+      2-gram (count x its non-space length) / total non-space
+      characters; ties break (count desc, gram asc) so the value is
+      deterministic.
+    - dup5gram_char_frac: sum over token 5-grams occurring >= 2 times of
+      count x non-space length, / total non-space characters.
+      Overlapping occurrences each count (the cheap upper-bound form;
+      can exceed 1 — it is a filter signal, not a probability).
+
+    Tokenization is the corpus convention (split on single spaces,
+    matching dedup.shingles). Grams shorter than the doc allow: docs
+    with < 2 (< 5) tokens score 0.0 on the 2-gram (5-gram) signal.
+
+    Scale shape: ONE mapInPandas pass, per-doc bounded state, zero
+    shuffle — the same reasoning as dedup.shingles (a per-doc Counter
+    beats exploding token x1 rows into two groupBy shuffles per
+    signal at 10^12 docs).
+    """
+    import pandas as pd
+    from collections import Counter
+
+    id_type = df.schema[id_col].dataType.simpleString()
+
+    def _stats(t: str) -> tuple:
+        toks = (t or "").split(" ")
+        total_chars = sum(len(x) for x in toks)
+        if not toks or total_chars == 0:
+            return 0.0, 0.0, 0.0
+        tok_c = Counter(toks)
+        top_tok = max(tok_c.values()) / len(toks)
+        g2 = 0.0
+        if len(toks) >= 2:
+            c2 = Counter(
+                " ".join(toks[j:j + 2]) for j in range(len(toks) - 1)
+            )
+            g, n = min(c2.items(), key=lambda kv: (-kv[1], kv[0]))
+            g2 = n * (len(g) - 1) / total_chars
+        g5 = 0.0
+        if len(toks) >= 5:
+            c5 = Counter(
+                " ".join(toks[j:j + 5]) for j in range(len(toks) - 4)
+            )
+            g5 = sum(
+                n * (len(g) - 4)
+                for g, n in c5.items() if n >= 2
+            ) / total_chars
+        # no rounding: every term is an exact-int product/ratio, so the
+        # IEEE doubles are bit-identical across engines; the comparison
+        # layer canonicalizes to 6 dp on both sides
+        return top_tok, g2, g5
+
+    def _gen(pdfs):
+        for pdf in pdfs:
+            ids, a, b, c = [], [], [], []
+            for i, t in zip(pdf[id_col], pdf[text_col]):
+                tt, t2, d5 = _stats(t)
+                ids.append(i)
+                a.append(tt)
+                b.append(t2)
+                c.append(d5)
+            yield pd.DataFrame({
+                "id": ids, "top_tok_frac": a,
+                "top2gram_char_frac": b, "dup5gram_char_frac": c,
+            })
+
+    return df.select(F.col(id_col), F.col(text_col)).mapInPandas(
+        _gen,
+        f"id {id_type}, top_tok_frac double, "
+        "top2gram_char_frac double, dup5gram_char_frac double",
+    )

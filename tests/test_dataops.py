@@ -5,7 +5,13 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F
 
-from rsyslog_spark.dataops import dedup, multimodal, similarity, textstats
+from rsyslog_spark.dataops import (
+    decontam,
+    dedup,
+    multimodal,
+    similarity,
+    textstats,
+)
 
 
 @pytest.fixture(scope="module")
@@ -240,3 +246,95 @@ class TestShingleEngines:
     def test_short_docs_no_grams(self, spark):
         df = spark.createDataFrame([(1, "one two")], "doc_id long, text string")
         assert dedup.shingles(df, k=3).count() == 0
+
+
+class TestDecontam:
+    @pytest.fixture(scope="class")
+    def corpus(self, spark):
+        # eval doc 10; doc 20 = exact copy; doc 21 = half-overlapping
+        # window; doc 22 = disjoint; doc 23 = shorter than k
+        rows = [
+            (10, "a b c d e f g h"),
+            (20, "a b c d e f g h"),
+            (21, "x a b c d e f y"),
+            (22, "p q r s t u v w"),
+            (23, "a b"),
+        ]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def _run(self, corpus, engine):
+        ev = corpus.filter("doc_id = 10")
+        out = decontam.kgram_contamination(
+            corpus, ev, k=4, threshold=0.8, engine=engine
+        )
+        return {r["id"]: r for r in out.collect()}
+
+    @pytest.mark.parametrize("engine", ["set", "join"])
+    def test_planted_overlap(self, corpus, engine):
+        by = self._run(corpus, engine)
+        assert len(by) == 5
+        # 8 tokens -> 5 distinct 4-grams; exact copy hits all of them
+        assert (by[20]["n_grams"], by[20]["n_hit"]) == (5, 5)
+        assert by[20]["contaminated"]
+        # doc 21 shares the 3 grams inside 'a b c d e f'
+        assert (by[21]["n_grams"], by[21]["n_hit"]) == (5, 3)
+        assert not by[21]["contaminated"]
+        assert (by[22]["n_hit"], by[22]["contaminated"]) == (0, False)
+        # sub-k doc: zero grams, frac defined as 0.0, never flagged
+        assert (by[23]["n_grams"], by[23]["frac"],
+                by[23]["contaminated"]) == (0, 0.0, False)
+
+    def test_engines_agree(self, corpus):
+        a, b = self._run(corpus, "set"), self._run(corpus, "join")
+        assert {k: tuple(v) for k, v in a.items()} == \
+               {k: tuple(v) for k, v in b.items()}
+
+    def test_set_engine_corpus_side_has_no_shuffle(self, corpus):
+        ev = corpus.filter("doc_id = 10")
+        plan = decontam.kgram_contamination(
+            corpus, ev, k=4, engine="set"
+        )._jdf.queryExecution().executedPlan().toString()
+        # the corpus side is one scan + one mapInPandas: no Exchange
+        assert "Exchange" not in plan
+
+
+class TestRepetition:
+    def test_hand_computed(self, spark):
+        rows = [
+            # 'a a a b': top tok 3/4; top 2-gram 'a a' x2 * 1 char / 4
+            # chars; no 5-grams
+            (1, "a a a b"),
+            # all-distinct: top tok 1/8, every 2-gram unique (x1), no
+            # duplicated 5-gram
+            (2, "q w e r t y u i"),
+            # 'ab cd ab cd ab cd ab cd': 'ab cd' appears 4x (+ 'cd ab'
+            # 3x) -> top2 4*4/16; 5-gram 'ab cd ab cd ab' x2 and
+            # 'cd ab cd ab cd' x2 -> (2*10 + 2*10)/16
+            (3, "ab cd ab cd ab cd ab cd"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        by = {r["id"]: r for r in textstats.repetition_stats(df).collect()}
+        assert by[1]["top_tok_frac"] == 3 / 4
+        assert by[1]["top2gram_char_frac"] == 2 * 2 / 4
+        assert by[1]["dup5gram_char_frac"] == 0.0
+        assert by[2]["top_tok_frac"] == 1 / 8
+        # ties break (count desc, gram asc): 'e r' wins at count 1
+        assert by[2]["top2gram_char_frac"] == 1 * 2 / 8
+        assert by[3]["top_tok_frac"] == 4 / 8
+        assert by[3]["top2gram_char_frac"] == 4 * 4 / 16
+        assert by[3]["dup5gram_char_frac"] == (2 * 10 + 2 * 10) / 16
+
+    def test_short_docs(self, spark):
+        df = spark.createDataFrame(
+            [(1, "solo"), (2, "")], "doc_id long, text string"
+        )
+        by = {r["id"]: r for r in textstats.repetition_stats(df).collect()}
+        assert by[1] == (1, 1.0, 0.0, 0.0)
+        assert by[2] == (2, 0.0, 0.0, 0.0)
+
+    def test_no_shuffle_plan(self, spark):
+        df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+        plan = textstats.repetition_stats(
+            df
+        )._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
