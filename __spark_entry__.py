@@ -204,10 +204,12 @@ def q_dyn_inc_counters(spark, sf_dir):
     the former dyn_inc_programname + dyn_inc_capped pair): the plain
     'progs' bucket (dyn_inc, rainerscript.c:2531-2550) and the
     maxCardinality-capped 'hosts' bucket with its ops_overflow row
-    (dynstats.c:517) — same (name, key, count) schema, unioned."""
-    p = _ok(spark, sf_dir)
-    return A.dyn_inc(p, "progs", "programname").unionByName(
-        A.dyn_inc(p, "hosts", "hostname", max_cardinality=5)
+    (dynstats.c:517) — same (name, key, count) schema, computed in ONE
+    pass over the parse via dyn_inc_multi (a per-bucket union would
+    re-execute the 100 TB parse once per bucket)."""
+    return A.dyn_inc_multi(
+        _ok(spark, sf_dir),
+        [("progs", "programname", 0), ("hosts", "hostname", 5)],
     )
 
 

@@ -46,6 +46,61 @@ def dyn_inc(
     return counts
 
 
+def dyn_inc_multi(
+    df: DataFrame,
+    buckets: list,
+) -> DataFrame:
+    """Several dynstats buckets in ONE pass over the input — the shape
+    that matters when the input is a 100 TB parse: a per-bucket
+    ``dyn_inc`` union re-executes the scan/parse once per bucket,
+    whereas exploding the (name, key) pairs costs one scan and one
+    shuffle for ALL buckets (counter rows are tiny; the explode's x
+    n_buckets row growth happens after column pruning, pre-aggregated
+    map-side).
+
+    ``buckets``: [(name, key_col, max_cardinality)] — max_cardinality
+    as in :func:`dyn_inc` (0 = uncapped; capped buckets keep top-N by
+    count with an ops_overflow row, dynstats.c:517). The kept/overflow
+    split re-reads the counts exchange, which AQE dedupes via
+    ReusedExchange — the scan still runs once.
+    """
+    pairs = F.array(*[
+        F.struct(
+            F.lit(n).alias("name"),
+            F.col(k).cast("string").alias("key"),
+        )
+        for n, k, _ in buckets
+    ])
+    counts = (
+        df.select(F.explode(pairs).alias("nk"))
+        .groupBy(F.col("nk.name").alias("name"), F.col("nk.key").alias("key"))
+        .count()
+    )
+    capped = {n: mc for n, _, mc in buckets if mc and mc > 0}
+    if not capped:
+        return counts
+    cap = F.lit(None).cast("int")
+    for n, mc in capped.items():
+        cap = F.when(F.col("name") == n, F.lit(mc)).otherwise(cap)
+    w = Window.partitionBy("name").orderBy(F.desc("count"), F.asc("key"))
+    ranked = counts.withColumn("_rk", F.row_number().over(w)).withColumn(
+        "_cap", cap
+    )
+    kept = ranked.filter(
+        F.col("_cap").isNull() | (F.col("_rk") <= F.col("_cap"))
+    ).select("name", "key", "count")
+    overflow = (
+        ranked.filter(
+            F.col("_cap").isNotNull() & (F.col("_rk") > F.col("_cap"))
+        )
+        .groupBy("name")
+        .agg(F.sum("count").alias("count"))
+        .withColumn("key", F.lit("ops_overflow"))
+        .select("name", "key", "count")
+    )
+    return kept.unionByName(overflow)
+
+
 def dyn_inc_windowed(
     df: DataFrame,
     bucket: str,

@@ -370,3 +370,35 @@ class TestFraming:
         # healthy action: no errorfile action is emitted at all
         _, actions2 = compile_config(df, conf, entry="fo")
         assert all(a.sink != "err" for a in actions2)
+
+
+class TestDynIncMulti:
+    @pytest.fixture(scope="class")
+    def frame(self, spark):
+        rows = [(i, f"p{i % 3}", f"h{i % 9}") for i in range(90)]
+        return spark.createDataFrame(rows, "i long, prog string, host string")
+
+    def test_matches_per_bucket_union(self, frame):
+        from rsyslog_spark import agg as A
+
+        multi = A.dyn_inc_multi(
+            frame, [("progs", "prog", 0), ("hosts", "host", 4)]
+        )
+        single = A.dyn_inc(frame, "progs", "prog").unionByName(
+            A.dyn_inc(frame, "hosts", "host", max_cardinality=4)
+        )
+        assert multi.exceptAll(single).count() == 0
+        assert single.exceptAll(multi).count() == 0
+
+    def test_overflow_row(self, frame):
+        from rsyslog_spark import agg as A
+
+        out = {
+            (r["name"], r["key"]): r["count"]
+            for r in A.dyn_inc_multi(
+                frame, [("hosts", "host", 4)]
+            ).collect()
+        }
+        # 9 hosts x 10 each: top 4 kept, 5 x 10 overflowed
+        assert out[("hosts", "ops_overflow")] == 50
+        assert len(out) == 5
