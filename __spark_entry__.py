@@ -387,10 +387,18 @@ def q_template_options(spark, sf_dir):
 
 def q_mm_rewrite(spark, sf_dir):
     """mmanon IP anonymization + mmnormalize field extraction in one
-    driver row (consolidated). Computed on independent copies of the
-    frame (mmanon's masking would otherwise change what mmnormalize
-    sees) and joined back per row on i."""
-    anon_in = _ok(spark, sf_dir).withColumn(
+    driver row (consolidated). ONE pass: mmnormalize extracts from the
+    original msg FIRST (its fields land in the 'norm' map), then the
+    frame's msg is rewritten with IPs and mmanon masks it — sequencing
+    the mutations replaces the former two-parse self-join on i."""
+    norm = mods.mm_normalize(
+        _ok(spark, sf_dir),
+        rules=[
+            ("msgnum", "msgnum:([0-9]+)", 1),
+            ("first_word", "^ ?([a-z]+)", 1),
+        ],
+    )
+    anon_in = norm.withColumn(
         "msg",
         F.concat(
             F.lit("src="),
@@ -399,21 +407,12 @@ def q_mm_rewrite(spark, sf_dir):
             F.col("msg"),
         ),
     )
-    anon = mods.mm_anon(anon_in, bits=16).select(
-        "i", F.col("msg").alias("anon_msg")
-    )
-    norm = mods.mm_normalize(
-        _ok(spark, sf_dir),
-        rules=[
-            ("msgnum", "msgnum:([0-9]+)", 1),
-            ("first_word", "^ ?([a-z]+)", 1),
-        ],
-    ).select(
+    return mods.mm_anon(anon_in, bits=16).select(
         "i",
+        F.col("msg").alias("anon_msg"),
         F.element_at("norm", "msgnum").alias("msgnum"),
         F.element_at("norm", "first_word").alias("first_word"),
     )
-    return anon.join(norm, on="i")
 
 
 _CONF_FE = """
