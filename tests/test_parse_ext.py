@@ -200,3 +200,99 @@ class TestKafkaTransform:
         )
         out = kafka_records_to_messages(rec).collect()
         assert out[0]["turn_idx"] == big
+
+
+class TestPmCiscoNull:
+    """pmciscoios + pmnull dialects (plugins/pmciscoios/pmciscoios.c,
+    plugins/pmnull/pmnull.c; golden line from tests/pmnull-basic.sh)."""
+
+    GOLD = ("16261: May 28 16:09:56.185: %SYS-5-CONFIG_I: Configured "
+            "from console by adminsepp on vty0 (10.23.214.226)")
+
+    @pytest.fixture(scope="class")
+    def frame(self, spark):
+        rows = [
+            (1, self.GOLD, "2014-06-01 00:00:00"),
+            # no seqno terminator -> COULD_NOT_PARSE (the C delimiter
+            # check fires even with zero digits read)
+            (2, "*Mar  1 18:46:11.299: %SYS-5-CONFIG_I: x",
+             "2014-06-01 00:00:00"),
+            # zero-digit counter with ': ' present parses as seq 0
+            (3, ": Mar  1 18:46:11: %LINK-3-UPDOWN: y",
+             "2014-06-01 00:00:00"),
+            # TZ string + '.' NTP flag + Dec/Jan year rollover back
+            (4, "7: .Dec 31 23:59:59 UTC: %X-1-Y: z",
+             "2015-01-02 00:00:00"),
+            # Jan with Dec reception -> year forward
+            (5, "8: Jan  1 00:00:00: %A-0-B: w", "2014-12-30 00:00:00"),
+            # year before month / after day (datetime.c:450 grammar)
+            (6, "9: 2013 May 28 16:09:56: %T-1-U: a",
+             "2014-06-01 00:00:00"),
+            (7, "10: May 28 2013 16:09:56: %T-1-U: b",
+             "2014-06-01 00:00:00"),
+            # year twice -> invalid (datetime.c:452)
+            (8, "12: 2013 May 28 2014 16:09:56: %T-1-U: c",
+             "2014-06-01 00:00:00"),
+            (9, "11: garbage", "2014-06-01 00:00:00"),
+        ]
+        return (
+            spark.createDataFrame(rows, "i long, text string, ts_s string")
+            .withColumn("ts", F.col("ts_s").cast("timestamp"))
+        )
+
+    def test_golden_walk(self, frame):
+        from rsyslog_spark.parse.pmcisco import parse_ciscoios
+
+        by = {r["i"]: r for r in parse_ciscoios(frame).collect()}
+        g = by[1]
+        assert g["cisco_ok"] and g["cisco_seq"] == 16261
+        assert str(g["cisco_ts"]) == "2014-05-28 16:09:56.185000"
+        # TAG keeps '%' and trailing ':', MSG keeps the leading space
+        assert g["cisco_tag"] == "%SYS-5-CONFIG_I:"
+        assert g["cisco_msg"].startswith(" Configured from console")
+        assert not by[2]["cisco_ok"]
+        assert by[3]["cisco_ok"] and by[3]["cisco_seq"] == 0
+        assert by[4]["cisco_tz"] == "UTC"
+        assert str(by[4]["cisco_ts"]).startswith("2014-12-31")
+        assert str(by[5]["cisco_ts"]).startswith("2015-01-01")
+        assert str(by[6]["cisco_ts"]).startswith("2013-05-28")
+        assert str(by[7]["cisco_ts"]).startswith("2013-05-28")
+        assert not by[8]["cisco_ok"]
+        assert not by[9]["cisco_ok"]
+
+    def test_origin_and_xr(self, frame, spark):
+        from rsyslog_spark.parse.pmcisco import parse_ciscoios
+
+        rows = [
+            (1, "20: host-a: May 28 16:09:56: %S-5-C: m",
+             "2014-06-01 00:00:00"),
+            # IPv6 origin: lone ':' is not a delimiter (only ': ')
+            (2, "21: ::1: May 28 16:09:56: %S-5-C: m",
+             "2014-06-01 00:00:00"),
+        ]
+        df = (
+            spark.createDataFrame(rows, "i long, text string, ts_s string")
+            .withColumn("ts", F.col("ts_s").cast("timestamp"))
+        )
+        by = {
+            r["i"]: r
+            for r in parse_ciscoios(df, present_origin=True).collect()
+        }
+        assert by[1]["cisco_origin"] == "host-a"
+        assert by[2]["cisco_origin"] == "::1"
+        with pytest.raises(ValueError, match="present.xr"):
+            parse_ciscoios(frame, present_xr=True)
+
+    def test_pmnull_golden(self, spark):
+        from rsyslog_spark.parse.pmcisco import parse_null
+
+        raw = "<189>" + self.GOLD
+        df = spark.createDataFrame([(raw,)], "text string")
+        # defaults: tag empty, pri 13 (tests/pmnull-basic.sh)
+        r = parse_null(df).first()
+        assert (r["null_tag"], r["null_pri"], r["null_msg"]) == ("", 13, raw)
+        # with params: tag/facility/severity (tests/pmnull-withparams.sh)
+        r = parse_null(
+            df, tag="mytag", syslogfacility=3, syslogseverity=1
+        ).first()
+        assert (r["null_tag"], r["null_pri"]) == ("mytag", 25)
