@@ -978,7 +978,12 @@ def q_queue_discard(spark, sf_dir):
     from rsyslog_spark.queue import queue_discard, queue_discard_stats
 
     p = _parsed(spark, sf_dir)
-    flagged = queue_discard(p, discard_mark=30, discard_severity=5)
+    # persist the 5-column flag projection: both facets fan out from it
+    # (map-side partial agg under the 'win' facet breaks exchange-reuse
+    # subtree equality, so without this the parse+window run twice)
+    flagged = queue_discard(p, discard_mark=30, discard_severity=5).select(
+        "conv_id", "turn_idx", "q_win", "q_pos", "q_keep"
+    ).persist()
     rowf = flagged.select(
         F.lit("row").alias("facet"),
         "conv_id",
@@ -989,7 +994,7 @@ def q_queue_discard(spark, sf_dir):
         F.lit(None).cast("long").alias("enqueued"),
         F.lit(None).cast("long").alias("discarded"),
     )
-    winf = queue_discard_stats(p, 30, 5).select(
+    winf = queue_discard_stats(flagged).select(
         F.lit("win").alias("facet"),
         F.lit(None).cast("string").alias("conv_id"),
         F.lit(None).cast("int").alias("turn_idx"),

@@ -129,6 +129,7 @@ class ParsedConfig:
     modules: list[dict] = field(default_factory=list)
     inputs: list[dict] = field(default_factory=list)
     lookups: dict = field(default_factory=dict)  # name -> LookupTable
+    parsers: dict = field(default_factory=dict)  # name -> parser() params
     queued: set = field(default_factory=set)  # rulesets with own queue
     main: list = field(default_factory=list)  # statements outside rulesets
     # sinks marked down at config time (health probe / operator flag);
@@ -231,8 +232,21 @@ class _Parser:
         while self.peek()[1] != ")":
             _, k = self.next()
             self.expect("=")
-            kind, v = self.next()
-            out[k.lower()] = _unquote(v) if kind == "string" else v
+            if self.peek()[1] == "[":
+                # array attribute, e.g. ruleset(parser=["a","b"])
+                self.next()
+                arr = []
+                while True:
+                    kind, v = self.next()
+                    if v == "]":
+                        break
+                    if v == ",":
+                        continue
+                    arr.append(_unquote(v) if kind == "string" else v)
+                out[k.lower()] = arr
+            else:
+                kind, v = self.next()
+                out[k.lower()] = _unquote(v) if kind == "string" else v
         self.expect(")")
         return out
 
@@ -275,9 +289,22 @@ class _Parser:
                 p = self.params()
                 body: list = []
                 self.block(body)
-                self.cfg.rulesets[p["name"]] = Ruleset(p["name"], body)
+                plist = p.get("parser", [])
+                if isinstance(plist, str):
+                    plist = [plist]
+                self.cfg.rulesets[p["name"]] = Ruleset(
+                    p["name"], body, parsers=plist
+                )
                 if any(k.startswith("queue.") for k in p):
                     self.cfg.queued.add(p["name"])
+                return
+            if lword == "parser":
+                # parser(name="x" type="pmnull" ...) instance object
+                # (grammar.y parser obj; instances bind via
+                # ruleset(parser=[...]), ruleset.c parser chain)
+                self.next()
+                p = self.params()
+                self.cfg.parsers[p["name"]] = p
                 return
             if lword == "lookup_table":
                 # lookup_table(name="t" file="x.json") — table object
@@ -987,3 +1014,45 @@ def compile_config(df, text: str, entry: str | None = None,
     if entry is None:
         entry = "main" if cfg.main else next(iter(cfg.rulesets))
     return rc.compile(df, entry)
+
+
+def apply_ruleset_parsers(
+    df,
+    text: str,
+    ruleset: str,
+    text_col: str = "text",
+    recv_ts_col: str = "ts",
+):
+    """Apply a ruleset's custom parser chain (ruleset(parser=[...]),
+    ruleset.c parser list; reference tests pmnull-basic/withparams.sh)
+    to ``df`` and return (parsed frame, ParsedConfig).
+
+    Named instances resolve through parser() objects; the default
+    instances ``rsyslog.pmnull`` / ``rsyslog.ciscoios``
+    (PARSER_NAME in pmnull.c / pmciscoios.c) resolve with default
+    parameters. Unknown names are a config error, like the reference's
+    RS_RET_PARSER_NAME_NOT_FOUND."""
+    from rsyslog_spark.parse.chain_custom import build_custom_chain
+
+    cfg = parse_config(text)
+    rs = cfg.rulesets.get(ruleset)
+    if rs is None:
+        raise ValueError(f"unknown ruleset {ruleset!r}")
+    if not rs.parsers:
+        raise ValueError(
+            f"ruleset {ruleset!r} binds no parser chain; the default "
+            "chain is parse.with_parsed"
+        )
+    instances = []
+    for nm in rs.parsers:
+        if nm in cfg.parsers:
+            instances.append(cfg.parsers[nm])
+        elif nm == "rsyslog.pmnull":
+            instances.append({"name": nm, "type": "pmnull"})
+        elif nm == "rsyslog.ciscoios":
+            instances.append({"name": nm, "type": "pmciscoios"})
+        else:
+            raise ValueError(
+                f"parser {nm!r} not found (RS_RET_PARSER_NAME_NOT_FOUND)"
+            )
+    return build_custom_chain(df, instances, text_col, recv_ts_col), cfg

@@ -1,0 +1,139 @@
+"""Ruleset-scoped custom parser chains.
+
+rsyslog binds parser chains per ruleset: ``ruleset(name="r"
+parser=["custom.pmnull", "rsyslog.pmnull"])`` tries each named parser
+instance in order and the FIRST one that accepts the message provides
+tag/PRI/msg (ruleset.c rulesetProcessMsg -> parser.ParseMsg walk;
+exercised by tests/pmnull-basic.sh / pmnull-withparams.sh).
+
+This module compiles such a chain over a text column as one Spark
+projection: every instance contributes an accept flag + field
+expressions, folded right-to-left into first-accept ``when`` cascades —
+the same shape as the default rfc5424->rfc3164 chain, but built from
+config-declared instances.
+
+Supported instance types: ``pmciscoios`` and ``pmnull`` (including
+their default instances ``rsyslog.ciscoios`` / ``rsyslog.pmnull``).
+The rfc3164/rfc5424 builtins ARE the default chain
+(``parse.with_parsed``) — mixing them into a custom chain is rejected
+loudly rather than half-modeled (the reference allows it; modeling it
+here would duplicate the default chain's full cascade per ruleset).
+
+PRI handling mirrors the reference's AutomaticPRIParsing contract:
+pmciscoios is PRI-compatible, so it parses the post-PRI text and keeps
+the PRI-parse facility/severity; pmnull overrides PRI with its
+configured facility*8+severity and takes MSG from raw offset 0 — the
+full line INCLUDING the "<pri>" prefix (pmnull.c:155-159; golden
+``msg: <189>16261: ...``).
+
+A message no instance accepts is a parse failure (``accepted`` false,
+null fields) — the reference discards it with a parse-error message.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from rsyslog_spark.parse.pmcisco import parse_ciscoios
+from rsyslog_spark.parse.pri import (
+    facility_expr,
+    severity_expr,
+    with_pri,
+)
+
+_ON = {"on", "1", "yes", "true"}
+
+
+def build_custom_chain(
+    df: DataFrame,
+    instances: list[dict],
+    text_col: str = "text",
+    recv_ts_col: str = "ts",
+) -> DataFrame:
+    """Adds accepted / parser / syslogtag / pri / syslogfacility /
+    syslogseverity / msg / timereported columns per the first-accept
+    walk over ``instances`` (each: {'name', 'type', ...params})."""
+    if not instances:
+        raise ValueError("custom parser chain needs at least one instance")
+
+    out = with_pri(df, raw_col=text_col)
+
+    # one (accept, fields...) tuple per instance, in chain order
+    branches = []
+    null_s = F.lit(None).cast("string")
+    null_t = F.lit(None).cast("timestamp")
+    for idx, inst in enumerate(instances):
+        ptype = inst.get("type")
+        name = inst.get("name", f"parser{idx}")
+        if ptype == "pmnull":
+            fac = int(inst.get("syslogfacility", 1))
+            sev = int(inst.get("syslogseverity", 5))
+            branches.append({
+                "ok": F.lit(True),
+                "parser": F.lit(name),
+                "tag": F.lit(inst.get("tag", "")),
+                "pri": F.lit(fac * 8 + sev).cast("int"),
+                "msg": F.coalesce(F.col(text_col), F.lit("")),
+                "ts": null_t,
+            })
+        elif ptype == "pmciscoios":
+            pfx = f"_cc{idx}_"
+            out = parse_ciscoios(
+                out,
+                text_col="rawmsg_after_pri",
+                present_origin=str(
+                    inst.get("present.origin", "off")
+                ).lower() in _ON,
+                present_xr=str(
+                    inst.get("present.xr", "off")
+                ).lower() in _ON,
+                recv_ts_col=recv_ts_col,
+                prefix=pfx,
+            )
+            branches.append({
+                "ok": F.col(f"{pfx}ok"),
+                "parser": F.lit(name),
+                "tag": F.col(f"{pfx}tag"),
+                "pri": F.col("pri"),  # PRI-compatible: keep parsed PRI
+                "msg": F.col(f"{pfx}msg"),
+                "ts": F.col(f"{pfx}ts"),
+            })
+        elif ptype in ("rfc3164", "rfc5424", "rsyslog.rfc3164",
+                       "rsyslog.rfc5424"):
+            raise ValueError(
+                f"{ptype}: the rfc builtins are the default chain "
+                "(parse.with_parsed); custom chains support "
+                "pmciscoios/pmnull instances"
+            )
+        else:
+            raise ValueError(f"unknown parser type {ptype!r}")
+
+    # right-to-left first-accept fold
+    sel = {
+        "parser": null_s, "tag": null_s,
+        "pri": F.lit(None).cast("int"),
+        "msg": null_s, "ts": null_t,
+    }
+    accepted = F.lit(False)
+    for br in reversed(branches):
+        for k in sel:
+            sel[k] = F.when(br["ok"], br[k]).otherwise(sel[k])
+        accepted = br["ok"] | accepted
+
+    out = (
+        out.withColumn("accepted", accepted)
+        .withColumn("parser", sel["parser"])
+        .withColumn("syslogtag", sel["tag"])
+        .withColumn("msg", sel["msg"])
+        .withColumn("timereported", sel["ts"])
+        .withColumn("pri", sel["pri"])
+        .withColumn("syslogfacility", facility_expr(F.col("pri")))
+        .withColumn("syslogseverity", severity_expr(F.col("pri")))
+    )
+    # drop per-instance scratch columns
+    scratch = [
+        c for c in out.columns
+        if c.startswith("_cc") or c == "rawmsg_after_pri"
+    ]
+    return out.drop(*scratch)

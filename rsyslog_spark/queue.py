@@ -80,15 +80,22 @@ def queue_discard(
 
 def queue_discard_stats(
     df: DataFrame,
-    discard_mark: int,
+    discard_mark: int = 0,
     discard_severity: int = 8,
     **kw,
 ) -> DataFrame:
     """Per-window impstats-style counters: (q_win, enqueued, discarded)
     — reference counter ``ctrNFDscrd`` (queue.c:1618), surfaced per
-    burst window instead of per queue lifetime."""
-    flagged = queue_discard(df, discard_mark, discard_severity, **kw)
-    return flagged.groupBy("q_win").agg(
+    burst window instead of per queue lifetime.
+
+    Accepts either a raw frame (flags it first) or one ALREADY flagged
+    by :func:`queue_discard` — pass the flagged frame when you also
+    keep the per-row facet, so the scan/parse/window subtree is shared
+    instead of re-executed."""
+    prefix = kw.get("prefix", "q")
+    if f"{prefix}_keep" not in df.columns:
+        df = queue_discard(df, discard_mark, discard_severity, **kw)
+    return df.groupBy(f"{prefix}_win").agg(
         F.count(F.lit(1)).alias("enqueued"),
-        F.sum((~F.col("q_keep")).cast("long")).alias("discarded"),
+        F.sum((~F.col(f"{prefix}_keep")).cast("long")).alias("discarded"),
     )

@@ -177,6 +177,9 @@ class Continue:
 class Ruleset:
     name: str
     stmts: list = field(default_factory=list)
+    # names of parser() instances bound via ruleset(parser=[...])
+    # (ruleset.c parser chain; compiled by config.apply_ruleset_parsers)
+    parsers: list = field(default_factory=list)
 
 
 @dataclass

@@ -159,3 +159,102 @@ class TestExprExtensions:
             if i % 10 <= 7 and i % 4 == 1 and i % 8 == 6
         )
         assert counts["noabs"] == 1000
+
+
+class TestRulesetParserChain:
+    """parser() instances + ruleset(parser=[...]) chains — byte-exact
+    against the reference goldens tests/pmnull-basic.sh /
+    pmnull-withparams.sh (same input line, same template, cmp output)."""
+
+    LINE = ("<189>16261: May 28 16:09:56.185: %SYS-5-CONFIG_I: Configured"
+            " from console by adminsepp on vty0 (10.23.214.226)")
+    TPL = ("tag: %syslogtag%, pri: %pri%, syslogfacility: "
+           "%syslogfacility%, syslogseverity: %syslogseverity% "
+           "msg: %msg%")
+
+    def _frame(self, spark):
+        return spark.createDataFrame(
+            [(self.LINE, "2014-06-01 00:00:00")], "text string, ts_s string"
+        ).withColumn("ts", F.col("ts_s").cast("timestamp"))
+
+    def test_pmnull_withparams_golden(self, spark):
+        from rsyslog_spark.config import apply_ruleset_parsers
+        from rsyslog_spark.templates import compile_template
+
+        conf = f'''
+parser(name="custom.pmnull" type="pmnull" tag="mytag" syslogfacility="3" syslogseverity="1")
+template(name="test" type="string" string="{self.TPL}")
+ruleset(name="ruleset" parser=["custom.pmnull", "rsyslog.pmnull"]) {{
+    action(type="omfile" file="/log/out.log" template="test")
+}}
+'''
+        parsed, cfg = apply_ruleset_parsers(
+            self._frame(spark), conf, "ruleset"
+        )
+        line = parsed.select(
+            compile_template(cfg.templates["test"]).alias("line"),
+            "parser", "accepted",
+        ).first()
+        assert line["accepted"] and line["parser"] == "custom.pmnull"
+        assert line["line"] == (
+            "tag: mytag, pri: 25, syslogfacility: 3, syslogseverity: 1 "
+            "msg: " + self.LINE
+        )
+
+    def test_pmnull_basic_golden(self, spark):
+        from rsyslog_spark.config import apply_ruleset_parsers
+        from rsyslog_spark.templates import compile_template
+
+        conf = f'''
+parser(name="custom.pmnull.withOrigin" type="pmnull")
+template(name="test" type="string" string="{self.TPL}")
+ruleset(name="ruleset" parser=["custom.pmnull.withOrigin", "rsyslog.pmnull"]) {{
+    action(type="omfile" file="/log/out.log" template="test")
+}}
+'''
+        parsed, cfg = apply_ruleset_parsers(
+            self._frame(spark), conf, "ruleset"
+        )
+        line = parsed.select(
+            compile_template(cfg.templates["test"]).alias("line")
+        ).first()["line"]
+        assert line == (
+            "tag: , pri: 13, syslogfacility: 1, syslogseverity: 5 "
+            "msg: " + self.LINE
+        )
+
+    def test_cisco_then_null_first_accept(self, spark):
+        from rsyslog_spark.config import apply_ruleset_parsers
+
+        conf = '''
+parser(name="cisco" type="pmciscoios")
+ruleset(name="r" parser=["cisco", "rsyslog.pmnull"]) {
+    action(type="omfile" file="/log/out.log")
+}
+'''
+        rows = [
+            (self.LINE, "2014-06-01 00:00:00"),          # cisco accepts
+            ("<13>not cisco at all", "2014-06-01 00:00:00"),  # falls to null
+        ]
+        df = spark.createDataFrame(
+            rows, "text string, ts_s string"
+        ).withColumn("ts", F.col("ts_s").cast("timestamp"))
+        parsed, _ = apply_ruleset_parsers(df, conf, "r")
+        by = {r["text"][:5]: r for r in parsed.collect()}
+        c = by["<189>"]
+        # PRI-compatible: cisco keeps the parsed <189> fac/sev
+        assert (c["parser"], c["pri"], c["syslogfacility"],
+                c["syslogseverity"]) == ("cisco", 189, 23, 5)
+        assert c["syslogtag"] == "%SYS-5-CONFIG_I:"
+        assert str(c["timereported"]) == "2014-05-28 16:09:56.185000"
+        n = by["<13>n"]
+        assert (n["parser"], n["pri"], n["msg"]) == (
+            "rsyslog.pmnull", 13, "<13>not cisco at all"
+        )
+
+    def test_unknown_parser_is_config_error(self, spark):
+        from rsyslog_spark.config import apply_ruleset_parsers
+
+        conf = 'ruleset(name="r" parser=["nope"]) { stop }'
+        with pytest.raises(ValueError, match="PARSER_NAME_NOT_FOUND"):
+            apply_ruleset_parsers(self._frame(spark), conf, "r")
