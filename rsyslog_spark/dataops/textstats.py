@@ -222,3 +222,43 @@ def repetition_stats(
         f"id {id_type}, top_tok_frac double, "
         "top2gram_char_frac double, dup5gram_char_frac double",
     )
+
+
+def vocab_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_k: int | None = None,
+) -> DataFrame:
+    """Corpus vocabulary table: (token, tf, df) — total occurrences and
+    document frequency; with ``top_k``, the k most frequent tokens with
+    a dense 1-based rank (ties by token, deterministic) for Zipf
+    inspection.
+
+    Scale shape — the skew-safe two-level wordcount: explode tokens ->
+    groupBy(doc, token) (one shuffle, map-side combined, bounded per-doc
+    state) -> groupBy(token) summing tf and counting rows for df (second
+    shuffle over the already-collapsed (doc,token) frame). A single
+    groupBy(token) with count_distinct(doc) would carry per-token doc
+    sets through the shuffle — the two-level form keeps every
+    aggregation state O(1). top_k is a sort+limit (Spark executes it as
+    a per-partition TakeOrdered + driver merge, no full sort)."""
+    toks = F.split(F.col(text_col), " ")
+    per_doc = (
+        df.select(F.col(id_col).alias("_d"), F.explode(toks).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("_d", "token")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    stats = per_doc.groupBy("token").agg(
+        F.sum("_c").alias("tf"),
+        F.count(F.lit(1)).alias("df"),
+    )
+    if top_k is None:
+        return stats
+    top = stats.orderBy(F.desc("tf"), F.asc("token")).limit(top_k)
+    w = Window.orderBy(F.desc("tf"), F.asc("token"))
+    # rank window runs on the k-row result only — single tiny partition
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "rank", "token", "tf", "df"
+    )

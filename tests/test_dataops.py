@@ -338,3 +338,70 @@ class TestRepetition:
             df
         )._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan
+
+
+class TestDecontamFuzz:
+    """Differential fuzz: the zero-shuffle broadcast-set engine and the
+    broadcast-join engine must agree on random corpora, and both must
+    agree with an independent pure-Python oracle."""
+
+    def test_random_corpora_agree(self, spark):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        words = st.sampled_from(["a", "b", "c", "d", "e"])
+        doc = st.lists(words, min_size=0, max_size=12).map(" ".join)
+
+        @given(texts=st.lists(doc, min_size=1, max_size=8))
+        @settings(max_examples=15, deadline=None)
+        def check(texts):
+            rows = [(i, t) for i, t in enumerate(texts)]
+            df = spark.createDataFrame(rows, "doc_id long, text string")
+            ev = df.filter("doc_id % 3 = 0")
+            k = 3
+            got = {}
+            for eng in ("set", "join"):
+                out = decontam.kgram_contamination(
+                    df, ev, k=k, threshold=0.5, engine=eng
+                )
+                got[eng] = {
+                    r["id"]: (r["n_grams"], r["n_hit"], r["contaminated"])
+                    for r in out.collect()
+                }
+            assert got["set"] == got["join"]
+            # independent python oracle
+            def grams(t):
+                tk = t.split(" ")
+                return {
+                    " ".join(tk[j:j + k]) for j in range(len(tk) - k + 1)
+                }
+            evg = set().union(
+                *(grams(t) for i, t in rows if i % 3 == 0)
+            ) if rows else set()
+            for i, t in rows:
+                g = grams(t)
+                hit = len(g & evg)
+                exp = (
+                    len(g), hit,
+                    bool(g) and round(hit / len(g), 6) >= 0.5,
+                )
+                assert got["set"][i] == exp, (i, t, got["set"][i], exp)
+
+        check()
+
+
+class TestVocab:
+    def test_counts_and_rank(self, spark):
+        rows = [
+            (1, "a b a"),
+            (2, "a c"),
+            (3, ""),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        full = {r["token"]: (r["tf"], r["df"])
+                for r in textstats.vocab_stats(df).collect()}
+        assert full == {"a": (3, 2), "b": (1, 1), "c": (1, 1)}
+        top = textstats.vocab_stats(df, top_k=2).collect()
+        assert [(r["rank"], r["token"], r["tf"]) for r in top] == [
+            (1, "a", 3), (2, "b", 1)  # tie b/c broken by token asc
+        ]
