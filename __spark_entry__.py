@@ -1878,21 +1878,27 @@ def oracle_sql() -> dict[str, str]:
         "length(replace(text, ' ', '')) AS tc FROM documents), "
         "tkc AS (SELECT doc_id, rt[i] AS tok, count(*) AS c FROM rw, "
         "unnest(generate_series(1, len(rt))) AS z(i) GROUP BY 1, 2), "
-        "ttf AS (SELECT doc_id, max(c) / CAST(sum(c) AS DOUBLE) "
-        "AS top_tok_frac FROM tkc GROUP BY doc_id), "
+        # tc = 0 (empty/whitespace-only doc): impl returns 0.0 for all
+        # three signals — guard the divisions the same way
+        "ttf AS (SELECT tkc.doc_id, CASE WHEN any_value(rw.tc) = 0 "
+        "THEN 0.0 ELSE max(c) / CAST(sum(c) AS DOUBLE) END "
+        "AS top_tok_frac FROM tkc JOIN rw USING (doc_id) "
+        "GROUP BY tkc.doc_id), "
         "g2c AS (SELECT doc_id, rt[i] || ' ' || rt[i+1] AS g, "
         "count(*) AS c FROM rw, "
         "unnest(generate_series(1, len(rt) - 1)) AS z(i) GROUP BY 1, 2), "
         "g2t AS (SELECT doc_id, g, c, row_number() OVER (PARTITION BY "
         "doc_id ORDER BY c DESC, g) AS rn FROM g2c), "
-        "t2f AS (SELECT g2t.doc_id, c * (length(g) - 1) / "
-        "CAST(rw.tc AS DOUBLE) AS top2gram_char_frac "
+        "t2f AS (SELECT g2t.doc_id, CASE WHEN rw.tc = 0 THEN 0.0 ELSE "
+        "c * (length(g) - 1) / CAST(rw.tc AS DOUBLE) END "
+        "AS top2gram_char_frac "
         "FROM g2t JOIN rw USING (doc_id) WHERE rn = 1), "
         "g5c AS (SELECT doc_id, array_to_string(rt[i:i+4], ' ') AS g, "
         "count(*) AS c FROM rw, "
         "unnest(generate_series(1, len(rt) - 4)) AS z(i) GROUP BY 1, 2), "
-        "d5f AS (SELECT g5c.doc_id, sum(c * (length(g) - 4)) / "
-        "CAST(any_value(rw.tc) AS DOUBLE) AS dup5gram_char_frac "
+        "d5f AS (SELECT g5c.doc_id, CASE WHEN any_value(rw.tc) = 0 "
+        "THEN 0.0 ELSE sum(c * (length(g) - 4)) / "
+        "CAST(any_value(rw.tc) AS DOUBLE) END AS dup5gram_char_frac "
         "FROM g5c JOIN rw USING (doc_id) WHERE c >= 2 GROUP BY g5c.doc_id) "
         "SELECT s.doc_id, s.score_en, s.score_es, s.score_fr, s.score_de, "
         f"CASE WHEN {_GREAT} = 0 THEN 'und' "

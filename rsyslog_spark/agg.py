@@ -32,18 +32,34 @@ def dyn_inc(
     keyed = df.select(F.lit(bucket).alias("name"), key.alias("key") if not isinstance(key, str) else F.col(key).alias("key"))
     counts = keyed.groupBy("name", "key").count()
     if max_cardinality and max_cardinality > 0:
-        w = Window.partitionBy("name").orderBy(F.desc("count"), F.asc("key"))
-        ranked = counts.withColumn("_rk", F.row_number().over(w))
-        kept = ranked.filter(F.col("_rk") <= max_cardinality).drop("_rk")
-        overflow = (
-            ranked.filter(F.col("_rk") > max_cardinality)
-            .groupBy("name")
-            .agg(F.sum("count").alias("count"))
-            .withColumn("key", F.lit("ops_overflow"))
-            .select("name", "key", "count")
-        )
-        return kept.unionByName(overflow)
+        return _apply_caps(counts, {bucket: max_cardinality})
     return counts
+
+
+def _apply_caps(counts: DataFrame, capped: dict) -> DataFrame:
+    """Shared maxCardinality logic over a (name, key, count) frame:
+    per-name top-N by (count desc, key asc) + one ops_overflow row
+    (dynstats.c:517). Names absent from ``capped`` pass uncapped."""
+    cap = F.lit(None).cast("int")
+    for n, mc in capped.items():
+        cap = F.when(F.col("name") == n, F.lit(mc)).otherwise(cap)
+    w = Window.partitionBy("name").orderBy(F.desc("count"), F.asc("key"))
+    ranked = counts.withColumn("_rk", F.row_number().over(w)).withColumn(
+        "_cap", cap
+    )
+    kept = ranked.filter(
+        F.col("_cap").isNull() | (F.col("_rk") <= F.col("_cap"))
+    ).select("name", "key", "count")
+    overflow = (
+        ranked.filter(
+            F.col("_cap").isNotNull() & (F.col("_rk") > F.col("_cap"))
+        )
+        .groupBy("name")
+        .agg(F.sum("count").alias("count"))
+        .withColumn("key", F.lit("ops_overflow"))
+        .select("name", "key", "count")
+    )
+    return kept.unionByName(overflow)
 
 
 def dyn_inc_multi(
@@ -79,26 +95,7 @@ def dyn_inc_multi(
     capped = {n: mc for n, _, mc in buckets if mc and mc > 0}
     if not capped:
         return counts
-    cap = F.lit(None).cast("int")
-    for n, mc in capped.items():
-        cap = F.when(F.col("name") == n, F.lit(mc)).otherwise(cap)
-    w = Window.partitionBy("name").orderBy(F.desc("count"), F.asc("key"))
-    ranked = counts.withColumn("_rk", F.row_number().over(w)).withColumn(
-        "_cap", cap
-    )
-    kept = ranked.filter(
-        F.col("_cap").isNull() | (F.col("_rk") <= F.col("_cap"))
-    ).select("name", "key", "count")
-    overflow = (
-        ranked.filter(
-            F.col("_cap").isNotNull() & (F.col("_rk") > F.col("_cap"))
-        )
-        .groupBy("name")
-        .agg(F.sum("count").alias("count"))
-        .withColumn("key", F.lit("ops_overflow"))
-        .select("name", "key", "count")
-    )
-    return kept.unionByName(overflow)
+    return _apply_caps(counts, capped)
 
 
 def dyn_inc_windowed(

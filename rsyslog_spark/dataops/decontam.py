@@ -152,5 +152,9 @@ def kgram_contamination(
     return counts.select(
         "id", "n_grams", "n_hit",
         frac.alias("frac"),
-        (frac >= threshold).alias("contaminated"),
+        # sub-k docs (n_grams = 0) can never be flagged, even at
+        # threshold <= 0 — mirrors the oracle's CASE WHEN n_grams > 0
+        ((F.col("n_grams") > 0) & (frac >= threshold)).alias(
+            "contaminated"
+        ),
     )

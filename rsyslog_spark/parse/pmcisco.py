@@ -98,9 +98,16 @@ def parse_ciscoios(
     # try_cast: non-matching rows extract '' (ANSI cast would throw);
     # null propagates through the checks and coalesces to ok=false
     day_n = F.ltrim(day).try_cast("int")
+    # zero digits before ': ' -> counter 0 (C init value); a counter
+    # too large for int64 is a parse FAILURE, not a silent 0 (the C
+    # walk wraps silently — failing loudly is the safer divergence)
+    seq = F.when(g(1) == "", F.lit(0).cast("long")).otherwise(
+        g(1).try_cast("long")
+    )
     # year may occur ONCE (before month or after day); both -> invalid
     ok = F.coalesce(
         matched
+        & seq.isNotNull()
         & ~((y1 != "") & (y2 != ""))
         & day_n.between(1, 31)
         & (h.try_cast("int") <= 23)
@@ -134,11 +141,7 @@ def parse_ciscoios(
     null_s = F.lit(None).cast("string")
     out = (
         df.withColumn(f"{prefix}ok", ok)
-        .withColumn(
-            f"{prefix}seq",
-            # zero digits before ': ' -> counter 0 (C init value)
-            F.when(ok, F.coalesce(g(1).try_cast("long"), F.lit(0))),
-        )
+        .withColumn(f"{prefix}seq", F.when(ok, seq))
         .withColumn(
             f"{prefix}origin",
             F.when(ok & F.lit(present_origin), g(2)).otherwise(null_s),

@@ -80,21 +80,39 @@ def queue_discard(
 
 def queue_discard_stats(
     df: DataFrame,
-    discard_mark: int = 0,
-    discard_severity: int = 8,
+    discard_mark: int | None = None,
+    discard_severity: int | None = None,
     **kw,
 ) -> DataFrame:
     """Per-window impstats-style counters: (q_win, enqueued, discarded)
     — reference counter ``ctrNFDscrd`` (queue.c:1618), surfaced per
     burst window instead of per queue lifetime.
 
-    Accepts either a raw frame (flags it first) or one ALREADY flagged
-    by :func:`queue_discard` — pass the flagged frame when you also
-    keep the per-row facet, so the scan/parse/window subtree is shared
-    instead of re-executed."""
+    Accepts either a raw frame (thresholds REQUIRED — it flags first)
+    or one ALREADY flagged by :func:`queue_discard` (thresholds
+    FORBIDDEN — they were baked in at flag time) — pass the flagged
+    frame when you also keep the per-row facet, so the scan/parse/
+    window subtree is shared instead of re-executed."""
     prefix = kw.get("prefix", "q")
-    if f"{prefix}_keep" not in df.columns:
-        df = queue_discard(df, discard_mark, discard_severity, **kw)
+    if f"{prefix}_keep" in df.columns:
+        if discard_mark is not None or discard_severity is not None:
+            raise ValueError(
+                f"frame already carries {prefix}_keep: thresholds were "
+                "fixed by queue_discard() and cannot be overridden "
+                "here — pass the raw frame to re-flag"
+            )
+    else:
+        if discard_mark is None:
+            raise ValueError(
+                "discard_mark is required when passing an unflagged "
+                "frame (or flag it with queue_discard() first)"
+            )
+        df = queue_discard(
+            df,
+            discard_mark,
+            8 if discard_severity is None else discard_severity,
+            **kw,
+        )
     return df.groupBy(f"{prefix}_win").agg(
         F.count(F.lit(1)).alias("enqueued"),
         F.sum((~F.col(f"{prefix}_keep")).cast("long")).alias("discarded"),

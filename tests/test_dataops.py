@@ -284,6 +284,19 @@ class TestDecontam:
         assert (by[23]["n_grams"], by[23]["frac"],
                 by[23]["contaminated"]) == (0, 0.0, False)
 
+    @pytest.mark.parametrize("engine", ["set", "join"])
+    def test_zero_threshold_never_flags_subk(self, corpus, engine):
+        # threshold <= 0: a sub-k doc (0 grams) must STILL be
+        # contaminated=False (0.0 >= 0.0 is true, but the contract and
+        # the oracle's CASE WHEN n_grams > 0 say never-flagged)
+        ev = corpus.filter("doc_id = 10")
+        out = decontam.kgram_contamination(
+            corpus, ev, k=4, threshold=0.0, engine=engine
+        )
+        by = {r["id"]: r for r in out.collect()}
+        assert not by[23]["contaminated"]
+        assert by[22]["contaminated"]  # 0 hits but frac 0.0 >= 0.0
+
     def test_engines_agree(self, corpus):
         a, b = self._run(corpus, "set"), self._run(corpus, "join")
         assert {k: tuple(v) for k, v in a.items()} == \

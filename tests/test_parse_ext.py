@@ -260,6 +260,24 @@ class TestPmCiscoNull:
         assert not by[8]["cisco_ok"]
         assert not by[9]["cisco_ok"]
 
+    def test_seq_overflow_fails_parse(self, spark):
+        from rsyslog_spark.parse.pmcisco import parse_ciscoios
+
+        rows = [
+            # counter beyond int64: parse failure, NOT a silent seq=0
+            (1, "99999999999999999999: May 28 16:09:56: %T-1-U: x",
+             "2014-06-01 00:00:00"),
+            (2, str(2**63 - 1) + ": May 28 16:09:56: %T-1-U: x",
+             "2014-06-01 00:00:00"),
+        ]
+        df = (
+            spark.createDataFrame(rows, "i long, text string, ts_s string")
+            .withColumn("ts", F.col("ts_s").cast("timestamp"))
+        )
+        by = {r["i"]: r for r in parse_ciscoios(df).collect()}
+        assert not by[1]["cisco_ok"] and by[1]["cisco_seq"] is None
+        assert by[2]["cisco_ok"] and by[2]["cisco_seq"] == 2**63 - 1
+
     def test_origin_and_xr(self, frame, spark):
         from rsyslog_spark.parse.pmcisco import parse_ciscoios
 

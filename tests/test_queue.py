@@ -87,3 +87,23 @@ class TestQueueDiscard:
         # 40 arrivals; positions 11..40 with sev 7 (odd i) discarded:
         # odd i in 10..39 -> 15 rows
         assert (enq, dis) == (40, 15)
+
+    def test_stats_threshold_misuse_raises(self, spark):
+        import pytest
+
+        df = spark.createDataFrame(
+            [(dt.datetime(2024, 1, 1), "c", 0, 7)],
+            "ts timestamp, conv_id string, turn_idx long, "
+            "syslogseverity int",
+        )
+        # unflagged frame without a mark: fail loudly, never a silent
+        # discarded=0 answer
+        with pytest.raises(ValueError, match="discard_mark is required"):
+            queue_discard_stats(df)
+        # pre-flagged frame with explicit thresholds: the flags were
+        # baked in by queue_discard — overriding is ambiguous
+        flagged = queue_discard(df, 30, 5)
+        with pytest.raises(ValueError, match="already carries q_keep"):
+            queue_discard_stats(flagged, 100, 2)
+        # pre-flagged without thresholds still works
+        assert queue_discard_stats(flagged).count() == 1
