@@ -66,6 +66,16 @@ class TestDedup:
                    for v in sim.values())
         assert sim[0] == sim[3]
 
+    def test_simhash_engines_differential(self, docs):
+        sh = dedup.shingles(docs)
+        a = {r["id"]: r["simhash"]
+             for r in dedup.simhash(sh, engine="explode").collect()}
+        b = {r["id"]: r["simhash"]
+             for r in dedup.simhash(sh, engine="agg").collect()}
+        assert a == b and len(a) > 0
+        with pytest.raises(ValueError):
+            dedup.simhash(sh, engine="nope")
+
     def test_hamming_pairs(self, docs):
         out = dedup.hamming_pairs(
             dedup.simhash(dedup.shingles(docs)), max_dist=0
