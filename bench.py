@@ -100,22 +100,31 @@ def bench_queries(spark, sf_dir: str, replicas: int) -> tuple[dict, int]:
             lambda: _count(E.q_embedding_topk(spark, sf_dir)),
         ),
     ]
-    timings: dict[str, float] = {}
+    # best-of-k with the trials INTERLEAVED across the query list (all
+    # queries once, then again): a host-level stall — the box shows
+    # multi-second neighbor noise invisible to loadavg — inflates at
+    # most one trial of each query instead of one query's only trial.
+    # Same discipline as the scaling block; raw trials stay in the
+    # artifact so an outlier is visible, not silently reported.
+    n_trials = int(os.environ.get("SPARK_GRAFT_QUERY_TRIALS", "2"))
+    raw: dict[str, list] = {name: [] for name, _ in runs}
     rows = 0
-    for name, fn in runs:
-        t0 = time.monotonic()
-        n = fn()
-        timings[name] = round(time.monotonic() - t0, 3)
-        if name == "flagship_e2e":
-            rows = n
-    return timings, rows
+    for _ in range(n_trials):
+        for name, fn in runs:
+            t0 = time.monotonic()
+            n = fn()
+            raw[name].append(round(time.monotonic() - t0, 3))
+            if name == "flagship_e2e":
+                rows = n
+    timings = {name: min(ts) for name, ts in raw.items()}
+    return timings, raw, rows
 
 
-def run_once(cores: int) -> tuple[dict, int, float]:
+def run_once(cores: int) -> tuple[dict, dict, int, float]:
     spark = _fresh_spark(cores)
-    timings, rows = bench_queries(spark, SF_DIR, REPLICAS)
+    timings, raw, rows = bench_queries(spark, SF_DIR, REPLICAS)
     total = round(sum(timings.values()), 3)
-    return timings, rows, total
+    return timings, raw, rows, total
 
 
 _CHILD_SNIPPET = """
@@ -188,12 +197,13 @@ def run_flagship_at(
 
 
 def main():
-    timings, rows, total = run_once(CPUS)
+    timings, raw, rows, total = run_once(CPUS)
     out = {
         "metric": "end-to-end parse->enrich->route->aggregate wall time",
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "queries_raw": raw,
         "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
         "rows": rows,
         "cpus": CPUS,
