@@ -1273,7 +1273,10 @@ def oracle_sql() -> dict[str, str]:
         "FROM (SELECT \"count\", row_number() OVER (ORDER BY \"count\" "
         "DESC, key) AS rn FROM (SELECT hostname AS key, count(*) AS "
         '"count" FROM p WHERE parse_success GROUP BY hostname)) '
-        "WHERE rn > 5"
+        # HAVING guard: with <= 5 distinct hostnames the ungrouped SUM
+        # would still emit one NULL row while _apply_caps emits none —
+        # both sides must agree the overflow row is absent
+        "WHERE rn > 5 HAVING count(*) > 0"
     )
     o["mm_count_app_sev"] = with_parsed_oracle(
         "SELECT programname, syslogseverity, count(*) AS count "

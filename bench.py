@@ -61,7 +61,22 @@ def _count(df) -> int:
     return df.count()
 
 
-def bench_queries(spark, sf_dir: str, replicas: int) -> tuple[dict, int]:
+def _loadavg() -> float:
+    try:
+        with open("/proc/loadavg") as f:
+            return float(f.read().split()[0])
+    except OSError:
+        return 0.0
+
+
+def bench_queries(
+    spark, sf_dir: str, replicas: int, extra_runs: list | None = None
+) -> tuple[dict, dict, int, list]:
+    """Returns (timings, raw, rows, loadavg_per_round).
+
+    ``extra_runs`` lets the caller interleave additional timed jobs
+    (the steady-state block) into the SAME trial rounds, so they get
+    the identical contention-robust protocol as the query list."""
     import __spark_entry__ as E
     from rsyslog_spark import agg as A
     from rsyslog_spark import windows as W
@@ -100,6 +115,8 @@ def bench_queries(spark, sf_dir: str, replicas: int) -> tuple[dict, int]:
             lambda: _count(E.q_embedding_topk(spark, sf_dir)),
         ),
     ]
+    if extra_runs:
+        runs.extend(extra_runs)
     # best-of-k with the trials INTERLEAVED across the query list (all
     # queries once, then again): a host-level stall — the box shows
     # multi-second neighbor noise invisible to loadavg — inflates at
@@ -108,8 +125,10 @@ def bench_queries(spark, sf_dir: str, replicas: int) -> tuple[dict, int]:
     # artifact so an outlier is visible, not silently reported.
     n_trials = int(os.environ.get("SPARK_GRAFT_QUERY_TRIALS", "2"))
     raw: dict[str, list] = {name: [] for name, _ in runs}
+    loadavgs: list = []
     rows = 0
     for _ in range(n_trials):
+        loadavgs.append(_loadavg())
         for name, fn in runs:
             t0 = time.monotonic()
             n = fn()
@@ -117,14 +136,7 @@ def bench_queries(spark, sf_dir: str, replicas: int) -> tuple[dict, int]:
             if name == "flagship_e2e":
                 rows = n
     timings = {name: min(ts) for name, ts in raw.items()}
-    return timings, raw, rows
-
-
-def run_once(cores: int) -> tuple[dict, dict, int, float]:
-    spark = _fresh_spark(cores)
-    timings, raw, rows = bench_queries(spark, SF_DIR, REPLICAS)
-    total = round(sum(timings.values()), 3)
-    return timings, raw, rows, total
+    return timings, raw, rows, loadavgs
 
 
 _CHILD_SNIPPET = """
@@ -197,54 +209,72 @@ def run_flagship_at(
 
 
 def main():
-    timings, raw, rows, total = run_once(CPUS)
+    spark = _fresh_spark(CPUS)
+
+    # steady-state throughput at a compute-bound input size (30x the sf
+    # table), reading the MATERIALIZED transcript table — the stored-
+    # table production shape whose throughput projects to cluster
+    # scale; the plain-sf flagship is fixed-overhead-dominated. r4: the
+    # steady-state trials are INTERLEAVED into the query-phase rounds
+    # (extra_runs), so they get the same contention-robust best-of-k
+    # protocol and their raw per-trial seconds land in the artifact —
+    # the r3 verdict's 643k->500k regression was unprovable noise
+    # because this block's 3 trials ran back-to-back in one window.
+    extra_runs: list = []
+    ss_rows = {"n": 0}
+    try:
+        from rsyslog_spark.pipeline import build_flagship
+
+        reps = int(os.environ.get("SPARK_GRAFT_SS_REPLICAS", "30"))
+        ss_path = materialize_input(reps)
+
+        def _ss():
+            ann, actions = build_flagship(spark.read.parquet(ss_path))
+            agg = ann.agg(
+                F.count(F.lit(1)).alias("rows"),
+                *[F.sum(F.col(a.pred_col).cast("long")) for a in actions],
+            ).collect()
+            ss_rows["n"] = int(agg[0]["rows"])
+            return ss_rows["n"]
+
+        _ss()  # warm plan shape + workers (untimed)
+        extra_runs.append(("steady_state", _ss))
+    except Exception as ex:
+        ss_err = str(ex)[:120]
+        extra_runs = []
+    else:
+        ss_err = None
+
+    timings, raw, rows, q_loadavgs = bench_queries(
+        spark, SF_DIR, REPLICAS, extra_runs=extra_runs
+    )
+    ss_raw = raw.pop("steady_state", None)
+    ss_sec = timings.pop("steady_state", None)
+    total = round(sum(timings.values()), 3)
     out = {
         "metric": "end-to-end parse->enrich->route->aggregate wall time",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "queries_raw": raw,
+        "loadavg_per_trial_round": q_loadavgs,
         "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
         "rows": rows,
         "cpus": CPUS,
         "throughput_rows_per_sec": round(rows / timings["flagship_e2e"], 1),
     }
-
-    # steady-state throughput at a compute-bound input size (30x the sf
-    # table), reading the MATERIALIZED transcript table — the stored-
-    # table production shape whose throughput projects to cluster
-    # scale; the plain-sf flagship above is fixed-overhead-dominated
-    try:
-        from pyspark.sql import SparkSession
-
-        from rsyslog_spark.pipeline import build_flagship
-
-        spark = SparkSession.getActiveSession()
-        reps = int(os.environ.get("SPARK_GRAFT_SS_REPLICAS", "30"))
-        in_path = materialize_input(reps)
-
-        def _ss():
-            ann, actions = build_flagship(spark.read.parquet(in_path))
-            agg = ann.agg(
-                F.count(F.lit(1)).alias("rows"),
-                *[F.sum(F.col(a.pred_col).cast("long")) for a in actions],
-            ).collect()
-            return int(agg[0]["rows"])
-
-        _ss()  # warm plan shape + workers
-        ss_sec, ss_rows = 1e9, 0
-        for _ in range(3):  # best-of-3: shields against box contention
-            t0 = time.monotonic()
-            ss_rows = _ss()
-            ss_sec = min(ss_sec, round(time.monotonic() - t0, 3))
+    if ss_sec is not None:
         out["steady_state"] = {
-            "rows": ss_rows,
+            "rows": ss_rows["n"],
             "sec": ss_sec,
-            "rows_per_sec": round(ss_rows / ss_sec, 1),
+            "raw": ss_raw,
+            "rows_per_sec": round(ss_rows["n"] / ss_sec, 1),
             "input": "materialized stored table",
+            "protocol": "trials interleaved with the query rounds, "
+                        "best-of-k, raw seconds recorded",
         }
-    except Exception as ex:  # never fail the bench line on this extra
-        out["steady_state"] = {"error": str(ex)[:120]}
+    else:
+        out["steady_state"] = {"error": ss_err or "setup failed"}
 
     # north rule: same job at N and 4N parallelism, efficiency =
     # (T_N / T_4N) / (4N/N) >= 0.8. Default-ON so every BENCH_r{N}

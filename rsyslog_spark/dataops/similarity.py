@@ -270,13 +270,22 @@ def ivf_anchor_ids(corpus: DataFrame, k: int, id_col: str = "vec_id"):
     quantized vectors of the k corpus rows with the smallest
     md5(str(id)) — a hash-random sample, the standard cheap substitute
     for k-means centroids, and reproducible in ANY engine (no RNG, no
-    float iteration order). Returns the ordered id list (cid = rank)."""
-    import hashlib
+    float iteration order). Returns the ordered id list (cid = rank).
 
-    ids = [r[0] for r in corpus.select(id_col).collect()]
-    return sorted(
-        ids, key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i)
-    )[:k]
+    The selection runs IN-ENGINE as orderBy(md5, id).limit(k) —
+    Catalyst compiles that to TakeOrderedAndProject, so only the k
+    winning ids cross to the driver (each partition ships its local
+    top-k; a full-corpus collect here would OOM the driver at 10^9
+    vectors). ``F.md5(cast(id as string))`` produces the identical
+    lowercase-hex digest the previous driver-side ``hashlib.md5``
+    computed, so anchors are unchanged."""
+    rows = (
+        corpus.select(id_col)
+        .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+        .limit(k)
+        .collect()
+    )
+    return [r[0] for r in rows]
 
 
 def ivf_assignments(

@@ -21,9 +21,12 @@
   the trailing ':' (pmciscoios.c:238-257) and MSG begins with the
   delimiter's space (MsgSetMSGoffs after a single ++).
 
-  ``present.xr`` changes the walk with device-specific skips and has
-  no reference test fixture; it is rejected loudly (the BSD-selector
-  error-not-silent precedent) rather than half-modeled.
+  ``present.xr`` (pmciscoios.c:197-234, 248) adds two skips — to the
+  first ':' before the timestamp (the "RP/0/RSP0/CPU0:" route-
+  processor prefix) and to the first '%' after it (the process name,
+  e.g. "pim[1000]: ") — and shifts the tag terminator by one char, so
+  XR tags read "%TAG : msg". Goldens are hand-derived from the C walk
+  (no reference shell fixture exists for XR).
 
   The parser is declared AutomaticPRIParsing-compatible in the
   reference, so it operates on the post-PRI text — strip PRI with
@@ -63,9 +66,27 @@ _TS = (
 _TAIL = r"%([^: ]*): ([\s\S]*)$"
 
 
-def _pattern(present_origin: bool) -> str:
-    origin = r"((?:(?!: )[\s\S])+): " if present_origin else ""
-    return r"^(\d*): " + origin + r"[*.]?" + _TS + _TAIL
+def _pattern(present_origin: bool, present_xr: bool = False) -> str:
+    # origin is * not +: the C loop (pmciscoios.c:177-185) exits
+    # immediately on a leading ": " and the delimiter check only needs
+    # *(p2parse+1)==' ', so an EMPTY origin ("20: : May ...") parses
+    origin = r"((?:(?!: )[\s\S])*): " if present_origin else ""
+    # XR RSP pre-skip (pmciscoios.c:197-210): everything up to the
+    # FIRST ':' is discarded, then exactly the ':' is consumed (no
+    # space — XR lines read "RP/0/RSP0/CPU0:Dec 13 ..."). [^:]* cannot
+    # cross a colon, so the regex stops at the first one just like the
+    # C scan — no backtracking ambiguity.
+    xr_pre = r"[^:]*:" if present_xr else ""
+    if present_xr:
+        # post-timestamp XR skip to the first '%' (pmciscoios.c:225-
+        # 234), then the tag terminator: the copy loop stops at ':' or
+        # ' ', XR skips ONE extra char (p2parse++ at :248) and THEN
+        # requires ": " — i.e. "%TAG : msg" (a plain "%TAG: msg" FAILS
+        # under XR because the skipped char eats the ':')
+        tail = r"[^%]*%([^: ]*)[: ]: ([\s\S]*)$"
+    else:
+        tail = _TAIL
+    return r"^(\d*): " + origin + xr_pre + r"[*.]?" + _TS + tail
 
 
 def parse_ciscoios(
@@ -79,13 +100,7 @@ def parse_ciscoios(
     """Adds ``<prefix>ok`` plus seq/origin/ts/tz/tag/msg columns; rows
     that fail any step of the reference walk get ok=false and NULL
     fields (RS_RET_COULD_NOT_PARSE — the chain driver moves on)."""
-    if present_xr:
-        raise ValueError(
-            "pmciscoios present.xr is not modeled (no reference test "
-            "fixture pins its device-specific walk); refusing rather "
-            "than silently diverging"
-        )
-    pat = _pattern(present_origin)
+    pat = _pattern(present_origin, present_xr)
     off = 1 if present_origin else 0
     s = F.coalesce(F.col(text_col), F.lit(""))
 

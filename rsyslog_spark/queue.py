@@ -59,7 +59,10 @@ def queue_discard(
     verifies every row, the sampling_gates pattern). discard_mark <= 0
     or discard_severity >= 8 disables discard entirely, matching the
     reference's off defaults."""
-    win = (F.unix_timestamp(F.col(ts_col)) / window_s).cast("long")
+    # floor division, not cast-truncation: cast('long') truncates
+    # toward zero, so pre-1970 timestamps (negative epoch) would land
+    # one bucket high vs the DuckDB oracle's floor semantics
+    win = F.floor(F.unix_timestamp(F.col(ts_col)) / window_s).cast("long")
     w = Window.partitionBy(win).orderBy(
         F.col(ts_col), *[F.col(c) for c in order_cols]
     )

@@ -252,6 +252,32 @@ ruleset(name="r" parser=["cisco", "rsyslog.pmnull"]) {
             "rsyslog.pmnull", 13, "<13>not cisco at all"
         )
 
+    def test_cisco_xr_instance_from_config_text(self, spark):
+        # present.xr accepted as a parser() instance param (r4 — was a
+        # loud rejection through r3); golden from the C walk
+        from rsyslog_spark.config import apply_ruleset_parsers
+
+        conf = '''
+parser(name="xr" type="pmciscoios" present.xr="on")
+ruleset(name="r" parser=["xr", "rsyslog.pmnull"]) {
+    action(type="omfile" file="/log/out.log")
+}
+'''
+        rows = [
+            ("123: RP/0/RSP0/CPU0:Dec 13 02:01:05.637 UTC: pim[1000]: "
+             "%ROUTING-IPV4_PIM-5-INTCHG : IPv4 PIM interface up",
+             "2014-12-20 00:00:00"),
+        ]
+        df = spark.createDataFrame(
+            rows, "text string, ts_s string"
+        ).withColumn("ts", F.col("ts_s").cast("timestamp"))
+        parsed, _ = apply_ruleset_parsers(df, conf, "r")
+        r = parsed.first()
+        assert r["parser"] == "xr"
+        assert r["syslogtag"] == "%ROUTING-IPV4_PIM-5-INTCHG:"
+        assert str(r["timereported"]) == "2014-12-13 02:01:05.637000"
+        assert r["msg"] == " IPv4 PIM interface up"
+
     def test_unknown_parser_is_config_error(self, spark):
         from rsyslog_spark.config import apply_ruleset_parsers
 

@@ -298,8 +298,60 @@ class TestPmCiscoNull:
         }
         assert by[1]["cisco_origin"] == "host-a"
         assert by[2]["cisco_origin"] == "::1"
-        with pytest.raises(ValueError, match="present.xr"):
-            parse_ciscoios(frame, present_xr=True)
+
+    def test_origin_empty(self, spark):
+        # C walk (pmciscoios.c:177-192): the origin loop exits
+        # immediately on a leading ': ' and the delimiter check only
+        # inspects *(p2parse+1), so an EMPTY origin parses fine
+        from rsyslog_spark.parse.pmcisco import parse_ciscoios
+
+        df = (
+            spark.createDataFrame(
+                [(1, "20: : May 28 16:09:56: %S-5-C: m",
+                  "2014-06-01 00:00:00")],
+                "i long, text string, ts_s string",
+            )
+            .withColumn("ts", F.col("ts_s").cast("timestamp"))
+        )
+        r = parse_ciscoios(df, present_origin=True).first()
+        assert r["cisco_ok"] and r["cisco_origin"] == ""
+        assert r["cisco_tag"] == "%S-5-C:"
+
+    def test_xr_walk(self, spark):
+        # goldens hand-derived from the C walk (pmciscoios.c:197-234,
+        # 248): pre-TS skip to first ':', post-TS skip to first '%',
+        # tag terminated "%TAG : " (one extra char before ': ')
+        from rsyslog_spark.parse.pmcisco import parse_ciscoios
+
+        rows = [
+            (1, "123: RP/0/RSP0/CPU0:Dec 13 02:01:05.637 UTC: "
+                "pim[1000]: %ROUTING-IPV4_PIM-5-INTCHG : "
+                "IPv4 PIM interface up",
+             "2014-12-20 00:00:00"),
+            # a NON-xr-shaped tag "%TAG: msg" FAILS under xr: the
+            # skipped terminator char eats the ':' so the ": " check
+            # lands on " m"
+            (2, "124: RP/0/RSP0/CPU0:Dec 13 02:01:05 UTC: p: %T-1-U: m",
+             "2014-12-20 00:00:00"),
+            # double-colon tag terminator also satisfies the walk
+            (3, "125: LC/0/0/CPU0:Dec 13 02:01:05 UTC: x: %T-1-U:: m",
+             "2014-12-20 00:00:00"),
+        ]
+        df = (
+            spark.createDataFrame(rows, "i long, text string, ts_s string")
+            .withColumn("ts", F.col("ts_s").cast("timestamp"))
+        )
+        by = {
+            r["i"]: r for r in parse_ciscoios(df, present_xr=True).collect()
+        }
+        g = by[1]
+        assert g["cisco_ok"] and g["cisco_seq"] == 123
+        assert str(g["cisco_ts"]) == "2014-12-13 02:01:05.637000"
+        assert g["cisco_tz"] == "UTC"
+        assert g["cisco_tag"] == "%ROUTING-IPV4_PIM-5-INTCHG:"
+        assert g["cisco_msg"] == " IPv4 PIM interface up"
+        assert not by[2]["cisco_ok"]
+        assert by[3]["cisco_ok"] and by[3]["cisco_msg"] == " m"
 
     def test_pmnull_golden(self, spark):
         from rsyslog_spark.parse.pmcisco import parse_null
