@@ -761,6 +761,31 @@ def _embs(spark, sf_dir):
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
 
+def _embs_structured(spark, sf_dir):
+    """Topic-clustered corpus for the ANN top-k facets, derived
+    deterministically from the sf embeddings (the planted-twin pattern
+    that fixed embedding_neardup, r3 verdict #3): the raw sf vectors
+    are isotropic noise (max pairwise cos ~0.55) where ANY blocked ANN
+    is information-theoretically ~random, so the demo showed the
+    family where it is meaningless. Planting 16 axis-aligned topic
+    spikes — +4.0 on dims d with d%16 == vec_id%16 — makes a vector's
+    true top-k its own topic cluster (measured: brute top-5 is 100%
+    same-topic), so LSH/IVF recall vs the in-row brute facet becomes a
+    meaningful number (PERF.md: 0.94 / 0.88 at the query's operating
+    points). The oracle applies the identical transform, so double
+    math stays IEEE-identical across engines."""
+    e = _embs(spark, sf_dir)
+    topic = (F.col("vec_id") % 16).cast("int")
+    return e.select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x, i: x.cast("double")
+            + F.when(i % 16 == topic, F.lit(4.0)).otherwise(F.lit(0.0)),
+        ).alias("embedding"),
+    )
+
+
 def q_dedup_exact(spark, sf_dir):
     from rsyslog_spark.dataops.dedup import exact_dedup_groups
 
@@ -866,9 +891,11 @@ def q_dedup_simhash(spark, sf_dir):
 
 
 def q_embedding_topk(spark, sf_dir):
+    """Exact brute-force top-k over the topic-structured corpus — the
+    recall baseline the approximate facets are judged against."""
     from rsyslog_spark.dataops.similarity import topk_bruteforce
 
-    e = _embs(spark, sf_dir)
+    e = _embs_structured(spark, sf_dir)
     return topk_bruteforce(e, e.filter(F.col("vec_id") < 10), k=5)
 
 
@@ -904,10 +931,16 @@ def q_embedding_neardup(spark, sf_dir):
 
 
 def q_embedding_lsh_topk(spark, sf_dir):
+    """Sign-LSH approximate top-k at a MEANINGFUL operating point
+    (r4): 8 independent tables x 6 bits (multi-table OR-banding) over
+    the topic-structured corpus — measured recall 0.94 vs the brute
+    facet (PERF.md; the r3 single-table demo on isotropic noise read
+    0.02 because no blocked ANN can work there)."""
     from rsyslog_spark.dataops.similarity import topk_lsh
 
-    e = _embs(spark, sf_dir)
-    return topk_lsh(e, e.filter(F.col("vec_id") < 10), k=5)
+    e = _embs_structured(spark, sf_dir)
+    return topk_lsh(e, e.filter(F.col("vec_id") < 10), k=5,
+                    n_bits=6, n_tables=8)
 
 
 def q_embedding_ivf_topk(spark, sf_dir):
@@ -920,7 +953,7 @@ def q_embedding_ivf_topk(spark, sf_dir):
 
     from rsyslog_spark.dataops.similarity import ivf_anchor_ids, topk_ivf
 
-    e = _embs(spark, sf_dir)
+    e = _embs_structured(spark, sf_dir)
     anchors = ivf_anchor_ids(e, 16)
     vecs = {
         r["vec_id"]: r["embedding"]
@@ -1717,13 +1750,18 @@ def oracle_sql() -> dict[str, str]:
         "substr(ha, k, 1) <> substr(hb, k, 1) THEN 1 ELSE 0 END)) AS INT) "
         "AS dist FROM candh) WHERE dist <= 3"
     )
-    _E = (
-        "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "
-        "FROM embeddings), "
+    # topic-structured corpus for the ANN top-k facets — mirrors
+    # _embs_structured: +4.0 on dims d (0-based) with d%16 ==
+    # vec_id%16 (DuckDB lists are 1-based, hence d-1); float->double
+    # widening then +4.0 in double is IEEE-identical across engines
+    _ES = (
+        "e AS (SELECT vec_id, list_transform(generate_series(1, 64), "
+        "d -> CAST(embedding[d] AS DOUBLE) + CASE WHEN (d - 1) % 16 = "
+        "vec_id % 16 THEN 4.0 ELSE 0.0 END) AS v FROM embeddings), "
         "n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e)"
     )
     _sql_brute = (
-        f"WITH {_E} SELECT qid, nid, cos, rank FROM ("
+        f"WITH {_ES} SELECT qid, nid, cos, rank FROM ("
         "SELECT q.vec_id AS qid, c.vec_id AS nid, "
         "round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 4) AS cos, "
         "row_number() OVER (PARTITION BY q.vec_id ORDER BY "
@@ -1790,24 +1828,28 @@ def oracle_sql() -> dict[str, str]:
         "JOIN n na ON cand.a = na.vec_id "
         "JOIN n nb ON cand.b = nb.vec_id) WHERE cos >= 0.9"
     )
+    # multi-table OR-banding (r4): candidates collide in >= 1 of the 8
+    # tables — join on (t, bucket), DISTINCT the bare id pairs before
+    # scoring, mirroring topk_lsh(n_tables=8, n_bits=6)
     _sql_lsh = (
-        f"WITH {_E}, {_QV}, {_hyper('hyper', 1, 6)}, {_BKT_STR}, "
-        "nb AS (SELECT n.vec_id, n.v, n.nrm, bkt.bucket FROM n "
-        "JOIN bkt ON n.vec_id = bkt.vec_id) "
+        f"WITH {_ES}, {_QV}, {_hyper('hyper', 8, 6)}, {_BKT_STR}, "
+        "cand AS (SELECT DISTINCT q.vec_id AS qid, c.vec_id AS nid "
+        "FROM bkt q JOIN bkt c ON q.t = c.t AND q.bucket = c.bucket "
+        "AND q.vec_id <> c.vec_id WHERE q.vec_id < 10) "
         "SELECT qid, nid, cos, rank FROM ("
-        "SELECT q.vec_id AS qid, c.vec_id AS nid, "
+        "SELECT cand.qid, cand.nid, "
         "round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 4) AS cos, "
-        "row_number() OVER (PARTITION BY q.vec_id ORDER BY "
+        "row_number() OVER (PARTITION BY cand.qid ORDER BY "
         "round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 4) DESC, "
-        "c.vec_id) AS rank "
-        "FROM nb q JOIN nb c ON q.bucket = c.bucket "
-        "AND q.vec_id <> c.vec_id WHERE q.vec_id < 10) WHERE rank <= 5"
+        "cand.nid) AS rank "
+        "FROM cand JOIN n q ON cand.qid = q.vec_id "
+        "JOIN n c ON cand.nid = c.vec_id) WHERE rank <= 5"
     )
     # IVF: hash-chosen anchors -> centroids (quantized int vectors),
     # exact int64 argmax assignment, probed-list join — mirrors
     # similarity.ivf_anchor_ids/ivf_assignments bit-for-bit
     _sql_ivf = (
-        f"WITH {_E}, {_QV}, "
+        f"WITH {_ES}, {_QV}, "
         "ranked AS (SELECT vec_id, row_number() OVER "
         "(ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cid "
         "FROM e), "

@@ -379,27 +379,42 @@ def topk_lsh(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,
+    n_tables: int = 1,
 ) -> DataFrame:
-    """Approximate top-k: candidates share the sign-LSH bucket.
+    """Approximate top-k: candidates share a sign-LSH bucket in >= 1
+    of ``n_tables`` independent hash tables (multi-table OR-banding —
+    the standard LSH recall lever: candidate probability
+    1 - (1 - p^n_bits)^n_tables for per-bit agreement p).
 
-    The bucket equi-join replaces the all-pairs product — this is the
-    shape that survives 10^9 vectors (bucket sizes ~n/2^bits; skewed
-    buckets split by AQE).  Buckets come from the same ONE-matmul
-    Arrow path as ``neardup_lsh`` (n_tables=1): the interpreted
-    Column-HOF formulation (``sign_lsh_buckets``) computes identical
-    groupings but was measured ~10x slower at 5k x 128 projections
-    (PERF.md) and is kept only as the cross-engine reference."""
-    cb = lsh_bucket_table(corpus, 1, n_bits, id_col, vec_col, dim,
-                          keep=(vec_col,))
-    qb = lsh_bucket_table(queries, 1, n_bits, id_col, vec_col, dim,
-                          keep=(vec_col,))
-    q = qb.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv"),
-                  "bucket")
-    c = cb.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("nv"),
-                  "bucket")
-    scored = (
-        c.join(broadcast(q), on="bucket")
+    The (tbl, bucket) equi-join replaces the all-pairs product — this
+    is the shape that survives 10^9 vectors (bucket sizes ~n/2^bits;
+    skewed buckets split by AQE). With n_tables > 1 the candidate
+    (qid, nid) pairs are DEDUPED as bare ids before the vectors are
+    re-attached (the ``neardup_lsh`` discipline: shuffling id pairs is
+    ~100x lighter than shuffling duplicate embedding payloads).
+    Buckets come from the same ONE-matmul Arrow path as
+    ``neardup_lsh``: the interpreted Column-HOF formulation
+    (``sign_lsh_buckets``) computes identical groupings but was
+    measured ~10x slower at 5k x 128 projections (PERF.md) and is kept
+    only as the cross-engine reference."""
+    cb = lsh_bucket_table(corpus, n_tables, n_bits, id_col, vec_col, dim)
+    qb = lsh_bucket_table(queries, n_tables, n_bits, id_col, vec_col, dim)
+    q = qb.select("tbl", "bucket", F.col(id_col).alias("qid"))
+    c = cb.select("tbl", "bucket", F.col(id_col).alias("nid"))
+    cand = (
+        c.join(broadcast(q), on=["tbl", "bucket"])
         .filter(F.col("qid") != F.col("nid"))
+        .select("qid", "nid")
+    )
+    if n_tables > 1:
+        cand = cand.distinct()
+    qv = queries.select(F.col(id_col).alias("qid"),
+                        F.col(vec_col).alias("qv"))
+    nv = corpus.select(F.col(id_col).alias("nid"),
+                       F.col(vec_col).alias("nv"))
+    scored = (
+        cand.join(broadcast(qv), on="qid")
+        .join(nv, on="nid")
         .select(
             "qid", "nid",
             F.round(cosine(F.col("qv"), F.col("nv")), 4).alias("cos"),
