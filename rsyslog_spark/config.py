@@ -385,6 +385,16 @@ class _Parser:
             if lword in ("set", "reset"):
                 self.next()
                 _, name = self.next()
+                if name.startswith("$/"):
+                    # $/ globals are read-only here (SURVEY §1.3:
+                    # broadcast state supplied at config load via
+                    # templates.set_global_vars; cross-message writes
+                    # have no dataflow analog) — fail loudly
+                    raise ValueError(
+                        f"{lword} {name}: global variables ($/) are "
+                        "read-only in this engine; supply values via "
+                        "set_global_vars()"
+                    )
                 self.expect("=")
                 val, vkind = self.expr_v()
                 into.append(
@@ -398,6 +408,11 @@ class _Parser:
             if lword == "unset":
                 self.next()
                 _, name = self.next()
+                if name.startswith("$/"):
+                    raise ValueError(
+                        f"unset {name}: global variables ($/) are "
+                        "read-only in this engine"
+                    )
                 into.append(Unset(name))
                 if self.peek()[1] == ";":
                     self.next()
@@ -1051,6 +1066,12 @@ def apply_ruleset_parsers(
             instances.append({"name": nm, "type": "pmnull"})
         elif nm == "rsyslog.ciscoios":
             instances.append({"name": nm, "type": "pmciscoios"})
+        elif nm == "rsyslog.cisconames":
+            # PARSER_NAME in contrib/pmcisconames/pmcisconames.c:51
+            instances.append({"name": nm, "type": "pmcisconames"})
+        elif nm == "rsyslog.aixforwardedfrom":
+            # PARSER_NAME in contrib/pmaixforwardedfrom (module default)
+            instances.append({"name": nm, "type": "pmaixforwardedfrom"})
         else:
             raise ValueError(
                 f"parser {nm!r} not found (RS_RET_PARSER_NAME_NOT_FOUND)"

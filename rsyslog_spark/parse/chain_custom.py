@@ -13,11 +13,18 @@ the same shape as the default rfc5424->rfc3164 chain, but built from
 config-declared instances.
 
 Supported instance types: ``pmciscoios`` and ``pmnull`` (including
-their default instances ``rsyslog.ciscoios`` / ``rsyslog.pmnull``).
+their default instances ``rsyslog.ciscoios`` / ``rsyslog.pmnull``),
+plus the contrib REWRITERS ``pmcisconames`` / ``pmaixforwardedfrom``
+(r4): those always decline the message (the reference returns
+RS_RET_COULD_NOT_PARSE) but mutate the post-PRI raw in place, so every
+LATER instance — and pmnull's full-raw MSG — sees the rewritten text,
+exactly like the C memmove on pszRawMsg.
 The rfc3164/rfc5424 builtins ARE the default chain
 (``parse.with_parsed``) — mixing them into a custom chain is rejected
 loudly rather than half-modeled (the reference allows it; modeling it
 here would duplicate the default chain's full cascade per ruleset).
+The rewrite-then-default-chain pairing the contrib modules exist for
+is ``with_parsed(df.withColumn('text', fix_cisconames(...)))``.
 
 PRI handling mirrors the reference's AutomaticPRIParsing contract:
 pmciscoios is PRI-compatible, so it parses the post-PRI text and keeps
@@ -57,7 +64,19 @@ def build_custom_chain(
     if not instances:
         raise ValueError("custom parser chain needs at least one instance")
 
+    from rsyslog_spark.parse.contrib import rewriter
+
     out = with_pri(df, raw_col=text_col)
+    # "<pri>" prefix, kept so rewriter-mutated raw can be reassembled
+    # for pmnull's MSG-from-offset-0 (prefix + after == original text
+    # when no rewriter fires)
+    out = out.withColumn(
+        "_pri_prefix",
+        F.expr(
+            f"substring({text_col}, 1, "
+            f"length({text_col}) - length(rawmsg_after_pri))"
+        ),
+    )
 
     # one (accept, fields...) tuple per instance, in chain order
     branches = []
@@ -66,15 +85,34 @@ def build_custom_chain(
     for idx, inst in enumerate(instances):
         ptype = inst.get("type")
         name = inst.get("name", f"parser{idx}")
+        rw = rewriter(ptype)
+        if rw is not None:
+            # contrib rewriter: declines the message but mutates the
+            # post-PRI raw for every later instance (the C memmove)
+            out = out.withColumn(
+                "rawmsg_after_pri", rw(F.col("rawmsg_after_pri"))
+            )
+            continue
         if ptype == "pmnull":
             fac = int(inst.get("syslogfacility", 1))
             sev = int(inst.get("syslogseverity", 5))
+            # snapshot the raw AT THIS chain position into a scratch
+            # column: a rewriter LATER in the chain must not leak back
+            # into this branch's MSG (final-select F.col references
+            # would resolve against the post-rewrite state)
+            out = out.withColumn(
+                f"_cc{idx}_raw",
+                F.concat(F.col("_pri_prefix"), F.col("rawmsg_after_pri")),
+            )
             branches.append({
                 "ok": F.lit(True),
                 "parser": F.lit(name),
                 "tag": F.lit(inst.get("tag", "")),
                 "pri": F.lit(fac * 8 + sev).cast("int"),
-                "msg": F.coalesce(F.col(text_col), F.lit("")),
+                # full raw from offset 0, on the message state as of
+                # this position (rewriters earlier in the chain seen,
+                # later ones not)
+                "msg": F.coalesce(F.col(f"_cc{idx}_raw"), F.lit("")),
                 "ts": null_t,
             })
         elif ptype == "pmciscoios":
@@ -134,6 +172,6 @@ def build_custom_chain(
     # drop per-instance scratch columns
     scratch = [
         c for c in out.columns
-        if c.startswith("_cc") or c == "rawmsg_after_pri"
+        if c.startswith("_cc") or c in ("rawmsg_after_pri", "_pri_prefix")
     ]
     return out.drop(*scratch)

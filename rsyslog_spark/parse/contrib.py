@@ -1,0 +1,134 @@
+"""Contrib parser dialects pmcisconames + pmaixforwardedfrom.
+
+Both reference modules are message REWRITERS, not field parsers: they
+always return RS_RET_COULD_NOT_PARSE so the NEXT parser in the chain
+(typically rsyslog.rfc3164) parses the message — but they mutate the
+raw message in place first, stripping a vendor preamble that would
+otherwise confuse the hostname/TAG heuristics.
+
+- ``fix_cisconames`` (contrib/pmcisconames/pmcisconames.c:105-146):
+  after permitting leading spaces and requiring >= 34 chars, the walk
+  needs one of two POSITIONAL timestamp shapes (only the listed
+  offsets are checked, every other char is a wildcard):
+
+      'Mmm DD HH:MM:SS '       spaces at 3,6,15, ':' at 9,12  -> skip 16
+      'Mmm DD YYYY HH:MM:SS '  spaces at 3,6,11,20, ':' at 14,17 -> 21
+
+  (short checked FIRST and committed — modeled with an atomic group so
+  the regex cannot backtrack into the long shape the way the C cannot),
+  then walks past the hostname to the next space and requires the
+  case-insensitive opener ": %" with at least one char after it
+  (the `lenMsg < sizeof(": %")` check counts the NUL). The two chars
+  ": " are then removed (memmove by 2):
+
+      'Mmm  1 00:00:01 fw01 : %ASA-1-000000: x'
+   -> 'Mmm  1 00:00:01 fw01 %ASA-1-000000: x'
+
+- ``fix_aix_forwarded_from``
+  (contrib/pmaixforwardedfrom/pmaixforwardedfrom.c:62-116): after
+  leading spaces and >= 24 chars, skips 16 timestamp chars WITHOUT
+  validating them, then requires the case-insensitive preamble
+  "Message forwarded from " (skip 23) or "From " (skip 5) with >= 2
+  chars after it, removes the preamble, then walks to the first ' ' or
+  ':' — only a ':' continues (one more memmove removes it); a ' '
+  aborts, BUT the preamble removal has already mutated the message and
+  PERSISTS (the C logs "similar enough that the preamble has been
+  removed" and aborts after the first memmove). Both stages are
+  modeled as separate conditional rewrites to keep that partial-commit
+  behavior bit-exact:
+
+      'Oct 11 11:11:11 Message forwarded from srv1: su: login ok'
+   -> 'Oct 11 11:11:11 srv1 su: login ok'
+
+Both parsers declare AutomaticPRIParsing, so the rewrite applies to the
+post-PRI text; in a chain the mutated raw feeds every later instance
+(chain_custom threads the rewritten column through), and the intended
+pairing — rewrite then the stock rfc3164 chain — is
+``with_parsed(rewrite_text(df, ['pmcisconames']))`` (the helper splits
+the "<pri>" prefix with the exact with_pri rules first; the bare
+``fix_*`` Column functions expect POST-PRI text).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# positional timestamp shapes — only the offsets the C checks are
+# constrained; (?s) because the C positional tests accept ANY byte
+# (including newline) at the wildcard offsets
+_TS_SHORT = r".{3} .{2} .{2}:.{2}:.{2} "
+_TS_LONG = r".{3} .{2} .{4} .{2}:.{2}:.{2} "
+
+# atomic (?>short|long): the C commits to the short shape when its
+# offsets match and never retries the long one, even if committing
+# makes the rest of the walk fail
+_CISCO_PAT = (
+    r"(?s)^( *+)((?>" + _TS_SHORT + r"|" + _TS_LONG + r"))"
+    r"([^ ]*+) (?i:: %)(?=.)"
+)
+
+_AIX_PRE_PAT = (
+    r"(?s)^( *+)(.{16})(?i:Message forwarded from |From )(?=.{2})"
+)
+_AIX_COLON_PAT = r"(?s)^( *+)(.{16})([^ :]*+):"
+
+
+def fix_cisconames(col: Column) -> Column:
+    """Rewritten text (unchanged when the walk rejects the line)."""
+    # the >= 34 floor (pmcisconames.c:79) applies after leading spaces
+    eligible = F.length(F.ltrim(col)) >= 34
+    fixed = F.regexp_replace(col, _CISCO_PAT, r"$1$2$3 %")
+    return F.when(eligible, fixed).otherwise(col)
+
+
+def fix_aix_forwarded_from(col: Column) -> Column:
+    """Rewritten text; the preamble removal persists even when the
+    colon stage aborts (the reference's partial-commit memmove)."""
+    eligible = F.length(F.ltrim(col)) >= 24
+    stage1 = F.regexp_replace(col, _AIX_PRE_PAT, r"$1$2")
+    # colon removal only runs when stage1 actually fired (the C only
+    # reaches the second memmove through the preamble branch)
+    stage2 = F.when(
+        stage1 != col, F.regexp_replace(stage1, _AIX_COLON_PAT, r"$1$2$3")
+    ).otherwise(stage1)
+    return F.when(eligible, stage2).otherwise(col)
+
+
+_REWRITERS = {
+    "pmcisconames": fix_cisconames,
+    "pmaixforwardedfrom": fix_aix_forwarded_from,
+}
+
+
+def rewriter(ptype: str):
+    """The rewrite fn for a contrib parser type, or None."""
+    return _REWRITERS.get(ptype)
+
+
+def rewrite_text(df, types, text_col: str = "text"):
+    """Apply contrib rewriters to ``text_col`` the way the chain does:
+    both modules declare AutomaticPRIParsing, so the walk starts AFTER
+    the "<pri>" prefix — the prefix is split off with the exact
+    with_pri rules, the rewrites run on the remainder in order, and
+    the full text is reassembled. This is the standalone entry for the
+    rewrite-then-default-chain pairing:
+
+        with_parsed(rewrite_text(df, ["pmcisconames"]))
+    """
+    from rsyslog_spark.parse.pri import with_pri
+
+    out = with_pri(df, raw_col=text_col)
+    prefix = F.expr(
+        f"substring({text_col}, 1, "
+        f"length({text_col}) - length(rawmsg_after_pri))"
+    )
+    fixed = F.col("rawmsg_after_pri")
+    for t in types:
+        fn = _REWRITERS.get(t)
+        if fn is None:
+            raise ValueError(f"unknown contrib rewriter {t!r}")
+        fixed = fn(fixed)
+    out = out.withColumn(text_col, F.concat(prefix, fixed))
+    added = [c for c in out.columns if c not in df.columns]
+    return out.drop(*added)

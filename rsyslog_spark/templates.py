@@ -102,8 +102,28 @@ def _fac_text(col: Column) -> Column:
     return F.element_at(arr, c + 1)
 
 
+# Global variables `$/x` (PROP_GLOBAL_VAR, runtime/msg.c:685-686):
+# daemon-level state in the reference. Supported READ-ONLY as a
+# config-load-time mapping (the broadcast-state stance of SURVEY §1.3)
+# — reads compile to literals, exactly like getenv(); writes are a
+# config error (config.py rejects `set $/x`). An unset global reads as
+# NULL, which the rs coercions turn into ''/0 like any unset var.
+GLOBAL_VARS: dict = {}
+
+
+def set_global_vars(mapping: dict | None) -> None:
+    """Replace the process-level `$/` global-variable table."""
+    GLOBAL_VARS.clear()
+    if mapping:
+        GLOBAL_VARS.update({str(k): str(v) for k, v in mapping.items()})
+
+
 def resolve_property(name: str) -> Column:
     """Property name -> Column over the parsed-message columns."""
+    if name.startswith("$/") or (name.startswith("/") and len(name) > 1):
+        key = name[2:] if name.startswith("$/") else name[1:]
+        val = GLOBAL_VARS.get(key)
+        return F.lit(val).cast("string")
     lname = name.lower()
     if lname in _PROP_TO_COL:
         return F.col(_PROP_TO_COL[lname])

@@ -284,3 +284,46 @@ ruleset(name="r" parser=["xr", "rsyslog.pmnull"]) {
         conf = 'ruleset(name="r" parser=["nope"]) { stop }'
         with pytest.raises(ValueError, match="PARSER_NAME_NOT_FOUND"):
             apply_ruleset_parsers(self._frame(spark), conf, "r")
+
+
+class TestGlobalVars:
+    """$/ global variables (PROP_GLOBAL_VAR, runtime/msg.c:685-686):
+    read-only config-load-time values; writes are a config error."""
+
+    def test_read_in_filter_and_template(self, parsed):
+        from rsyslog_spark.templates import set_global_vars
+
+        set_global_vars({"env": "prod", "region": "eu-1"})
+        try:
+            conf = """
+            template(name="gt" string="env=%$/env% r=%$/region% m=%msg%")
+            ruleset(name="g") {
+                if $/env == "prod" then {
+                    action(type="omfile" file="/x/prod.log" template="gt")
+                }
+                if $/missing == "" then {
+                    action(type="omfile" file="/x/unset.log")
+                }
+            }
+            """
+            ann, actions = compile_config(parsed, conf, entry="g")
+            counts = _counts(ann, actions)
+            n = parsed.count()
+            # env == prod for every row; unset global coerces to ''
+            assert counts["prod"] == n
+            assert counts["unset"] == n
+            prod = next(a for a in actions if a.sink == "prod")
+            line = prod.output(ann).select(
+                F.col(prod.out_col).alias("x")
+            ).first()["x"]
+            assert line.startswith("env=prod r=eu-1 m=")
+        finally:
+            set_global_vars(None)
+
+    def test_write_rejected(self, parsed):
+        with pytest.raises(ValueError, match="read-only"):
+            parse_config(
+                'ruleset(name="g") { set $/x = "1"; stop }'
+            )
+        with pytest.raises(ValueError, match="read-only"):
+            parse_config('ruleset(name="g") { unset $/x; stop }')

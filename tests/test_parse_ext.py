@@ -366,3 +366,119 @@ class TestPmCiscoNull:
             df, tag="mytag", syslogfacility=3, syslogseverity=1
         ).first()
         assert (r["null_tag"], r["null_pri"]) == ("mytag", 25)
+
+
+class TestContribRewriters:
+    """pmcisconames + pmaixforwardedfrom (contrib/*, r4): message
+    rewriters that always decline but mutate the raw; goldens derived
+    from the C walks."""
+
+    def _fix(self, spark, fn, texts):
+        from rsyslog_spark.parse import contrib
+
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "i long, text string"
+        )
+        out = df.withColumn("fixed", getattr(contrib, fn)(F.col("text")))
+        return [r["fixed"] for r in out.orderBy("i").collect()]
+
+    def test_cisconames_golden(self, spark):
+        short = "May  1 00:00:01 fw01 : %ASA-1-000000: hello"
+        long_ = "May  1 2014 00:00:01 fw01 : %ASA-1-000000: hello"
+        got = self._fix(spark, "fix_cisconames", [
+            short,                                  # short ts -> fixed
+            long_,                                  # long ts -> fixed
+            "   " + short,                          # leading SP kept
+            "May  1 00:00:01 fw01 : ASA: x" + "x" * 10,   # no '%'
+            "bad timestamp here fw01 : %ASA-1-000000: hello",
+            "May  1 00:00:01 fw01 : %",             # nothing after %
+            short[:33],                             # < 34 chars
+        ])
+        assert got[0] == "May  1 00:00:01 fw01 %ASA-1-000000: hello"
+        assert got[1] == "May  1 2014 00:00:01 fw01 %ASA-1-000000: hello"
+        assert got[2] == "   May  1 00:00:01 fw01 %ASA-1-000000: hello"
+        assert got[3].endswith("ASA: x" + "x" * 10)          # unchanged
+        assert got[4] == "bad timestamp here fw01 : %ASA-1-000000: hello"
+        assert got[5] == "May  1 00:00:01 fw01 : %"          # unchanged
+        assert got[6] == short[:33]                          # unchanged
+
+    def test_cisconames_positional_wildcards(self, spark):
+        # the C checks ONLY offsets 3,6,9,12,15 — other chars are free
+        weird = "Xyz 99 ZZ:88:77 host : %TAG-1-0: m"
+        got = self._fix(spark, "fix_cisconames", [weird])
+        assert got[0] == "Xyz 99 ZZ:88:77 host %TAG-1-0: m"
+
+    def test_aix_golden(self, spark):
+        ts = "Oct 11 11:11:11 "
+        got = self._fix(spark, "fix_aix_forwarded_from", [
+            ts + "Message forwarded from srv1: su: ok",
+            ts + "From srv1: su: ok",
+            ts + "from SRV1: x",                    # case-insensitive
+            ts + "su: login ok",                    # no preamble
+            # partial commit: preamble removed, but a SP before any ':'
+            # aborts the colon stage (C: "similar enough that the
+            # preamble has been removed")
+            ts + "From srv one: x",
+            ts + "From x",          # 22 chars < 24 floor AND < 2 after
+        ])
+        assert got[0] == ts + "srv1 su: ok"
+        assert got[1] == ts + "srv1 su: ok"
+        assert got[2] == ts + "SRV1 x"
+        assert got[3] == ts + "su: login ok"        # unchanged
+        assert got[4] == ts + "srv one: x"          # preamble gone, ':' kept
+        assert got[5] == ts + "From x"              # unchanged
+
+    def test_chain_integration_rewrite_then_null(self, spark):
+        # pmnull BEFORE the rewriter sees the original raw; pmnull
+        # AFTER it sees the mutated raw (the C memmove on pszRawMsg)
+        from rsyslog_spark.parse.chain_custom import build_custom_chain
+
+        raw = "<13>May  1 00:00:01 fw01 : %ASA-1-000000: hello"
+        df = spark.createDataFrame([(raw,)], "text string").withColumn(
+            "ts", F.lit("2014-06-01 00:00:00").cast("timestamp")
+        )
+        after = build_custom_chain(df, [
+            {"name": "fix", "type": "pmcisconames"},
+            {"name": "null", "type": "pmnull"},
+        ]).first()
+        assert after["msg"] == "<13>May  1 00:00:01 fw01 %ASA-1-000000: hello"
+        before = build_custom_chain(df, [
+            {"name": "null", "type": "pmnull"},
+            {"name": "fix", "type": "pmcisconames"},
+        ]).first()
+        assert before["msg"] == raw
+
+    def test_rewrite_then_default_chain(self, spark):
+        # the pairing the contrib modules exist for: fix the mangled
+        # hostname (post-PRI, like the AutomaticPRIParsing chain),
+        # then the stock 3164 chain parses TAG correctly
+        from rsyslog_spark.parse.contrib import rewrite_text
+
+        raw = "<13>May  1 00:00:01 fw01 : %ASA-1-000000: hello"
+        df = spark.createDataFrame([(raw,)], "text string").withColumn(
+            "ts", F.lit("2014-06-01 00:00:00").cast("timestamp")
+        )
+        df = rewrite_text(df, ["pmcisconames"])
+        assert df.columns == ["text", "ts"]
+        r = with_parsed(df).first()
+        assert r["parser"] == "rfc3164"
+        assert r["hostname"] == "fw01"
+        assert r["syslogtag"] == "%ASA-1-000000:"
+        assert r["msg"] == " hello"
+
+    def test_config_text_contrib_instances(self, spark):
+        from rsyslog_spark.config import apply_ruleset_parsers
+
+        conf = '''
+ruleset(name="r" parser=["rsyslog.cisconames", "rsyslog.pmnull"]) {
+    action(type="omfile" file="/log/out.log")
+}
+'''
+        raw = "<13>May  1 00:00:01 fw01 : %ASA-1-000000: hello"
+        df = spark.createDataFrame([(raw,)], "text string").withColumn(
+            "ts", F.lit("2014-06-01 00:00:00").cast("timestamp")
+        )
+        parsed, _ = apply_ruleset_parsers(df, conf, "r")
+        r = parsed.first()
+        assert r["parser"] == "rsyslog.pmnull"
+        assert r["msg"] == "<13>May  1 00:00:01 fw01 %ASA-1-000000: hello"
