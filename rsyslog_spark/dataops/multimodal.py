@@ -9,6 +9,10 @@ marked, raising NotImplementedError unless ``fake=True``, in which case
 a deterministic md5-seeded fake replaces the codec. Everything AROUND
 the kernel (schema, batching, partitioning, signatures) is real and
 tested — swap the kernel body for PIL/ffmpeg on a real cluster.
+
+Codec probe history (PIL/cv2/av/soundfile/librosa/imageio/skimage/
+torchvision + ffmpeg binary): absent in rounds 2, 3 and 4 — the stubs
+stay honest rather than faking a decode.
 """
 
 from __future__ import annotations
