@@ -116,7 +116,11 @@ def bench_queries(
         ),
     ]
     if extra_runs:
-        runs.extend(extra_runs)
+        # steady_state runs FIRST in each round: it is the one number
+        # that wants the whole box, and running it on a fresh cache
+        # (below) rather than after the query list's persisted frames
+        # measured 8.5 s vs 6.0 s on an idle box
+        runs = list(extra_runs) + runs
     # best-of-k with the trials INTERLEAVED across the query list (all
     # queries once, then again): a host-level stall — the box shows
     # multi-second neighbor noise invisible to loadavg — inflates at
@@ -129,6 +133,11 @@ def bench_queries(
     rows = 0
     for _ in range(n_trials):
         loadavgs.append(_loadavg())
+        # drop persisted frames leaked by the previous round (the
+        # dedup query persists per call and the handles die with the
+        # call — without this the block manager grows every round and
+        # GC pressure bleeds into every later timing)
+        spark.catalog.clearCache()
         for name, fn in runs:
             t0 = time.monotonic()
             n = fn()
@@ -264,14 +273,30 @@ def main():
         "throughput_rows_per_sec": round(rows / timings["flagship_e2e"], 1),
     }
     if ss_sec is not None:
+        # one extra trial in a QUIET window (load < 4, bounded wait):
+        # the 32-core steady-state job is the number most sensitive to
+        # ambient load, and min-over-trials converges from above only
+        # if at least one trial lands in a quiet moment
+        try:
+            t_end = time.monotonic() + 120.0
+            while time.monotonic() < t_end and _loadavg() > 4.0:
+                time.sleep(10)
+            t0 = time.monotonic()
+            extra_fn = dict(extra_runs)["steady_state"]
+            extra_fn()
+            ss_raw.append(round(time.monotonic() - t0, 3))
+            ss_sec = min(ss_sec, ss_raw[-1])
+        except Exception:
+            pass
         out["steady_state"] = {
             "rows": ss_rows["n"],
             "sec": ss_sec,
             "raw": ss_raw,
             "rows_per_sec": round(ss_rows["n"] / ss_sec, 1),
             "input": "materialized stored table",
-            "protocol": "trials interleaved with the query rounds, "
-                        "best-of-k, raw seconds recorded",
+            "protocol": "trials interleaved with the query rounds + one "
+                        "quiet-window trial, best-of-k, raw seconds "
+                        "recorded",
         }
     else:
         out["steady_state"] = {"error": ss_err or "setup failed"}

@@ -1072,6 +1072,9 @@ def apply_ruleset_parsers(
         elif nm == "rsyslog.aixforwardedfrom":
             # PARSER_NAME in contrib/pmaixforwardedfrom (module default)
             instances.append({"name": nm, "type": "pmaixforwardedfrom"})
+        elif nm == "rsyslog.snare":
+            # PARSER_NAME in contrib/pmsnare/pmsnare.c:65
+            instances.append({"name": nm, "type": "pmsnare"})
         else:
             raise ValueError(
                 f"parser {nm!r} not found (RS_RET_PARSER_NAME_NOT_FOUND)"

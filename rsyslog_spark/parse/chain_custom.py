@@ -85,7 +85,7 @@ def build_custom_chain(
     for idx, inst in enumerate(instances):
         ptype = inst.get("type")
         name = inst.get("name", f"parser{idx}")
-        rw = rewriter(ptype)
+        rw = rewriter(ptype, inst)
         if rw is not None:
             # contrib rewriter: declines the message but mutates the
             # post-PRI raw for every later instance (the C memmove)

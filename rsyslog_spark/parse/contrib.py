@@ -95,15 +95,78 @@ def fix_aix_forwarded_from(col: Column) -> Column:
     return F.when(eligible, stage2).otherwise(col)
 
 
+def _repl_lit(s: str) -> str:
+    """Escape a literal for a Java regex REPLACEMENT string."""
+    return s.replace("\\", "\\\\").replace("$", "\\$")
+
+
+def fix_snare(col: Column, tab_representation: str = "#011") -> Column:
+    """pmsnare (contrib/pmsnare/pmsnare.c:252-343): always-decline
+    rewriter that collapses the tab separators of Snare-agent events
+    ("MSWinEventLog" / "LinuxKAudit") to a single character.
+
+    ``tab_representation`` is what a tab looks like AFTER the
+    receive-side escaping (pmsnare.c endCnfLoad): "#011" under the
+    engine defaults (escapeControlCharactersOnReceive=on + escapeTab=on
+    + prefix '#', glbl.c:127-132), "\\\\t" with the C-style option, or
+    a raw TAB when escaping is off. Each separator of length
+    ``len(tab_representation)`` is collapsed to its FIRST char (the C
+    memmove keeps byte 0 and removes the rest — a raw tab is therefore
+    a validated no-op).
+
+    The walk (post-PRI, >= 30 chars): scan to the first ' '/TAB/
+    ``tab_representation[0]``; if the full tab representation matches
+    there case-insensitively (with >= 1 char after it), the message
+    must carry a Snare tag right after it or it is left alone
+    ("Tab-separated but no Snare tag -> can't be Snare!"); otherwise
+    the syslog-shaped variant is tried: 16 timestamp chars skipped
+    UNVALIDATED, hostname to the next space, then the tag. On success
+    both the hostname->tag separator (tab-separated form) and the
+    separator AFTER the tag are collapsed. The C removes the after-tag
+    chars without verifying them; this version requires them to exist
+    (the C would memmove out of bounds otherwise)."""
+    import re as _re
+
+    rep = tab_representation
+    c0, tl = rep[0], len(rep)
+    drop = tl - 1
+    cls = "[^ \\t" + _re.escape(c0) + "]*+"
+    rep_pat = "(?i:" + _re.escape(rep) + ")"
+    tag = "((?i:MSWinEventLog|LinuxKAudit))"
+    after = "([\\s\\S])[\\s\\S]{" + str(drop) + "}"
+    gate = "^" + cls + rep_pat + "[\\s\\S]"
+    pat_tab = "^(" + cls + ")" + rep_pat + tag + after
+    pat_sys = "^([\\s\\S]{16})([^ ]*) " + tag + after
+    eligible = F.length(col) >= 30
+    fixed_tab = F.regexp_replace(
+        col, pat_tab, "$1" + _repl_lit(c0) + "$2$3"
+    )
+    fixed_sys = F.regexp_replace(col, pat_sys, "$1$2 $3$4")
+    return (
+        F.when(~eligible, col)
+        .when(col.rlike(gate), fixed_tab)
+        .otherwise(fixed_sys)
+    )
+
+
 _REWRITERS = {
     "pmcisconames": fix_cisconames,
     "pmaixforwardedfrom": fix_aix_forwarded_from,
+    "pmsnare": fix_snare,
 }
 
 
-def rewriter(ptype: str):
-    """The rewrite fn for a contrib parser type, or None."""
-    return _REWRITERS.get(ptype)
+def rewriter(ptype: str, inst: dict | None = None):
+    """The rewrite fn (Column -> Column) for a contrib parser type, or
+    None. ``inst`` carries instance params (pmsnare's
+    tab.representation)."""
+    fn = _REWRITERS.get(ptype)
+    if fn is None:
+        return None
+    if ptype == "pmsnare":
+        rep = str((inst or {}).get("tab.representation", "#011"))
+        return lambda c: fix_snare(c, rep)
+    return fn
 
 
 def rewrite_text(df, types, text_col: str = "text"):

@@ -482,3 +482,57 @@ ruleset(name="r" parser=["rsyslog.cisconames", "rsyslog.pmnull"]) {
         r = parsed.first()
         assert r["parser"] == "rsyslog.pmnull"
         assert r["msg"] == "<13>May  1 00:00:01 fw01 %ASA-1-000000: hello"
+
+    def test_snare_golden(self, spark):
+        # pmsnare (contrib/pmsnare/pmsnare.c:252-343), default escaped
+        # tab "#011": the hostname->tag separator and the one AFTER the
+        # tag collapse to '#'; later separators stay
+        from rsyslog_spark.parse import contrib
+
+        tabbed = ("winhost#011MSWinEventLog#0115#011Security#011"
+                  "1234#011data")
+        sysl = ("May 17 02:25:10 winhost MSWinEventLog#0115#011"
+                "Security#011x")
+        nontag = ("tabhost#011NotSnareTag stuff here MSWinEventLog#011"
+                  "padpad")
+        linux = "lnxhost#011LinuxKAudit#011a#011bcdefghij"
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate([tabbed, sysl, nontag, linux])],
+            "i long, text string",
+        )
+        out = df.withColumn("fixed", contrib.fix_snare(F.col("text")))
+        got = [r["fixed"] for r in out.orderBy("i").collect()]
+        assert got[0] == ("winhost#MSWinEventLog#5#011Security#011"
+                          "1234#011data")
+        assert got[1] == ("May 17 02:25:10 winhost MSWinEventLog#5"
+                          "#011Security#011x")
+        # tab-separated but non-Snare tag: NO rewrite, and no fallback
+        # to the syslog shape (the C aborts inside the tab branch)
+        assert got[2] == nontag
+        assert got[3] == "lnxhost#LinuxKAudit#a#011bcdefghij"
+
+    def test_snare_raw_tab_is_validated_noop(self, spark):
+        from rsyslog_spark.parse import contrib
+
+        raw = "winhost\tMSWinEventLog\t5\tSecurity\t99\thello"
+        df = spark.createDataFrame([(raw,)], "text string")
+        r = df.withColumn(
+            "fixed", contrib.fix_snare(F.col("text"), "\t")
+        ).first()
+        assert r["fixed"] == raw
+
+    def test_snare_config_instance(self, spark):
+        from rsyslog_spark.config import apply_ruleset_parsers
+
+        conf = '''
+ruleset(name="r" parser=["rsyslog.snare", "rsyslog.pmnull"]) {
+    action(type="omfile" file="/log/out.log")
+}
+'''
+        raw = "<13>winhost#011MSWinEventLog#0115#011Security#011pad"
+        df = spark.createDataFrame([(raw,)], "text string").withColumn(
+            "ts", F.lit("2017-05-17 00:00:00").cast("timestamp")
+        )
+        parsed, _ = apply_ruleset_parsers(df, conf, "r")
+        r = parsed.first()
+        assert r["msg"] == "<13>winhost#MSWinEventLog#5#011Security#011pad"
