@@ -1075,6 +1075,12 @@ def apply_ruleset_parsers(
         elif nm == "rsyslog.snare":
             # PARSER_NAME in contrib/pmsnare/pmsnare.c:65
             instances.append({"name": nm, "type": "pmsnare"})
+        elif nm == "rsyslog.panngfw":
+            # PARSER_NAME in contrib/pmpanngfw/pmpanngfw.c:44
+            instances.append({"name": nm, "type": "pmpanngfw"})
+        elif nm == "db2.diag":
+            # PARSER_NAME in contrib/pmdb2diag/pmdb2diag.c:48
+            instances.append({"name": nm, "type": "pmdb2diag"})
         else:
             raise ValueError(
                 f"parser {nm!r} not found (RS_RET_PARSER_NAME_NOT_FOUND)"

@@ -137,6 +137,42 @@ def build_custom_chain(
                 "msg": F.col(f"{pfx}msg"),
                 "ts": F.col(f"{pfx}ts"),
             })
+        elif ptype == "pmdb2diag":
+            from rsyslog_spark.parse.db2diag import parse_db2diag
+
+            pfx = f"_cc{idx}_"
+            out = out.withColumn(
+                f"{pfx}raw", F.col("rawmsg_after_pri")
+            )
+            out = parse_db2diag(
+                out,
+                text_col="rawmsg_after_pri",
+                levelpos=int(inst.get("levelpos", 59)),
+                timepos=int(inst.get("timepos", 0)),
+                timeformat=str(
+                    inst.get("timeformat", "%Y-%m-%d-%H.%M.%S.")
+                ),
+                pid_shift=int(
+                    inst.get("pidstarttoprogstartshift", 49)
+                ),
+                prefix=pfx,
+            )
+            branches.append({
+                "ok": F.col(f"{pfx}ok"),
+                "parser": F.lit(name),
+                "tag": F.lit(""),      # db2diag never sets TAG
+                # severity overrides the PRI-derived one when the
+                # level word resolved (pMsg->iSeverity assignment)
+                "pri": F.when(
+                    F.col(f"{pfx}severity").isNotNull(),
+                    (F.col("pri") - F.col("pri") % 8)
+                    + F.col(f"{pfx}severity"),
+                ).otherwise(F.col("pri")),
+                "msg": F.col(f"{pfx}raw"),   # MSG offsets untouched
+                "ts": F.col(f"{pfx}ts"),
+                "appname": F.col(f"{pfx}appname"),
+                "procid": F.col(f"{pfx}procid"),
+            })
         elif ptype in ("rfc3164", "rfc5424", "rsyslog.rfc3164",
                        "rsyslog.rfc5424"):
             raise ValueError(
@@ -152,11 +188,17 @@ def build_custom_chain(
         "parser": null_s, "tag": null_s,
         "pri": F.lit(None).cast("int"),
         "msg": null_s, "ts": null_t,
+        "appname": null_s, "procid": null_s,
     }
     accepted = F.lit(False)
     for br in reversed(branches):
         for k in sel:
-            sel[k] = F.when(br["ok"], br[k]).otherwise(sel[k])
+            # a branch that doesn't define a field SETS it null on
+            # accept (that parser doesn't produce it) — it must not
+            # leak a later branch's value through the fold
+            sel[k] = F.when(
+                br["ok"], br[k] if k in br else null_s
+            ).otherwise(sel[k])
         accepted = br["ok"] | accepted
 
     out = (
@@ -168,6 +210,8 @@ def build_custom_chain(
         .withColumn("pri", sel["pri"])
         .withColumn("syslogfacility", facility_expr(F.col("pri")))
         .withColumn("syslogseverity", severity_expr(F.col("pri")))
+        .withColumn("app_name", sel["appname"])
+        .withColumn("procid", sel["procid"])
     )
     # drop per-instance scratch columns
     scratch = [

@@ -51,6 +51,8 @@ the "<pri>" prefix with the exact with_pri rules first; the bare
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -149,10 +151,96 @@ def fix_snare(col: Column, tab_representation: str = "#011") -> Column:
     )
 
 
+def _pan_rewrite_one(s: str) -> str:
+    """Exact pmpanngfw walk (contrib/pmpanngfw/pmpanngfw.c:95-250) on
+    one post-PRI message. Returns the rewritten text (self when the
+    message is not PAN-OS-shaped)."""
+    # first 3 commas
+    count = 0
+    p = -1
+    for i, ch in enumerate(s):
+        if ch == ",":
+            count += 1
+            if count == 3:
+                p = i + 1
+                break
+    if p < 0 or len(s) - p < 8:
+        return s
+    f4 = s[p:p + 8]
+    # the uint64 mask table: 4th field must be one of the log types,
+    # comma-terminated ("TRAFFIC," is the full-8-byte mask)
+    if not (
+        f4 == "TRAFFIC,"
+        or f4[:7] in ("THREAT,", "CONFIG,", "SYSTEM,")
+    ):
+        return s
+    out: list = []
+    state = 0  # FIELD_START / IN_FIELD / IN_QUOTE / QUOTE_QUOTE
+    i = p
+    n = len(s)
+    while i < n:
+        c = s[i]
+        if state == 0:
+            if c == '"':
+                state = 2
+            elif c == ",":
+                out.append("\t")
+            else:
+                state = 1
+                out.append(c)
+        elif state == 1:
+            if c == ",":
+                state = 0
+                out.append("\t")
+            else:
+                out.append(c)
+        elif state == 2:
+            if c == '"':
+                state = 3
+            else:
+                out.append(c)
+        else:  # QUOTE_QUOTE
+            if c == '"':
+                state = 2
+                out.append('"')
+            elif c == ",":
+                state = 0
+                out.append("\t")
+            else:
+                # martian char after a closing quote: the C aborts
+                # WITHOUT shortening the message — the compacted
+                # prefix overwrote bytes p..p+len(out) in place and
+                # the rest is untouched (partial commit, like the aix
+                # rewriter's first stage)
+                body = "".join(out)
+                return s[:p] + body + s[p + len(body):]
+        i += 1
+    return s[:p] + "".join(out)
+
+
+def fix_panngfw(col: Column) -> Column:
+    """pmpanngfw (contrib/pmpanngfw): always-decline rewriter that
+    converts the PAN-OS CSV body (4th field = THREAT/TRAFFIC/CONFIG/
+    SYSTEM after the 3-field syslog preamble) to TAB-separated fields,
+    stripping CSV quotes and collapsing '""' escapes — a character
+    state machine, so it runs as an Arrow-batched pandas UDF (one
+    Python pass per batch; the per-char loop is the operator, exactly
+    like the reference's in-place walk)."""
+
+    @F.pandas_udf("string")
+    def _fix(texts: pd.Series) -> pd.Series:
+        return texts.map(
+            lambda t: _pan_rewrite_one(t) if isinstance(t, str) else t
+        )
+
+    return _fix(col)
+
+
 _REWRITERS = {
     "pmcisconames": fix_cisconames,
     "pmaixforwardedfrom": fix_aix_forwarded_from,
     "pmsnare": fix_snare,
+    "pmpanngfw": fix_panngfw,
 }
 
 

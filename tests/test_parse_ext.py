@@ -536,3 +536,115 @@ ruleset(name="r" parser=["rsyslog.snare", "rsyslog.pmnull"]) {
         parsed, _ = apply_ruleset_parsers(df, conf, "r")
         r = parsed.first()
         assert r["msg"] == "<13>winhost#MSWinEventLog#5#011Security#011pad"
+
+
+class TestPanNgfw:
+    """pmpanngfw (contrib/pmpanngfw): CSV->TAB rewriter goldens from
+    the C state machine."""
+
+    def _fix(self, spark, texts):
+        from rsyslog_spark.parse import contrib
+
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "i long, text string"
+        )
+        out = df.withColumn("fixed", contrib.fix_panngfw(F.col("text")))
+        return [r["fixed"] for r in out.orderBy("i").collect()]
+
+    def test_golden(self, spark):
+        got = self._fix(spark, [
+            'host,2024,serial,TRAFFIC,"a,b",plain,"q""q"',
+            "host,2024,serial,THREAT,x,y",
+            "host,2024,serial,FOO,x,y",       # unknown log type
+            "a,b,c",                           # only 3 fields, too short
+            "no commas at all",
+        ])
+        assert got[0] == "host,2024,serial,TRAFFIC\ta,b\tplain\tq\"q"
+        assert got[1] == "host,2024,serial,THREAT\tx\ty"
+        assert got[2] == "host,2024,serial,FOO,x,y"
+        assert got[3] == "a,b,c"
+        assert got[4] == "no commas at all"
+
+    def test_martian_partial_commit(self, spark):
+        # a non-quote non-comma after a closing quote aborts, leaving
+        # the compacted prefix in place and the tail untouched, length
+        # unchanged — the C's in-place overwrite
+        raw = 'h,2,3,SYSTEM,"x"y'
+        got = self._fix(spark, [raw])
+        assert got[0] == "h,2,3,SYSTEM\txx\"y"
+        assert len(got[0]) == len(raw)
+
+
+class TestDb2Diag:
+    def _line(self):
+        ts = "2024-01-15-10.30.45.123456+060"       # 30 chars
+        s = ts + " " * (59 - len(ts)) + "Error"      # level at 59
+        s += " PID : 12345 "                          # ':' after level
+        pid_start = s.index(": 12345") + 2            # 0-based
+        s += " " * (pid_start + 49 - len(s)) + "db2sysc 0"
+        return s, pid_start
+
+    def test_golden_fields(self, spark):
+        from rsyslog_spark.parse.db2diag import parse_db2diag
+
+        line, _ = self._line()
+        df = spark.createDataFrame([(line,)], "text string")
+        r = parse_db2diag(df).first()
+        assert r["db2_ok"]
+        assert r["db2_severity"] == 3               # Error
+        # +060 = 60 MINUTES east: UTC = local - 1h
+        assert str(r["db2_ts"]) == "2024-01-15 09:30:45.123456"
+        assert r["db2_procid"] == "12345"
+        assert r["db2_appname"] == "db2sysc"
+
+    def test_level_variants_and_quirks(self, spark):
+        from rsyslog_spark.parse.db2diag import parse_db2diag
+
+        base, _ = self._line()
+        rows = [
+            (1, base.replace("Error", "Event")),     # E + not 'r' -> 5
+            (2, base.replace("Error", "Warni")),     # W -> 4 (len 7 ok)
+            (3, base[:59] + "Xyzzy" + base[64:]),    # unknown level
+            (4, base[:60]),                           # 'E' but truncated
+            (5, "short"),                             # < levelpos+4
+        ]
+        df = spark.createDataFrame(rows, "i long, text string")
+        by = {r["i"]: r for r in parse_db2diag(df).collect()}
+        assert by[1]["db2_ok"] and by[1]["db2_severity"] == 5
+        assert by[2]["db2_ok"] and by[2]["db2_severity"] == 4
+        # unknown level char: ABORT_FINALIZE(0) == RS_RET_OK — message
+        # ACCEPTED with no fields (reference quirk, kept)
+        assert by[3]["db2_ok"] and by[3]["db2_severity"] is None
+        assert not by[4]["db2_ok"]                  # known, truncated
+        assert not by[5]["db2_ok"]
+
+    def test_appname_backslash_stop(self, spark):
+        from rsyslog_spark.parse.db2diag import parse_db2diag
+
+        line, _ = self._line()
+        line = line.replace("db2sysc 0", "db2sy\\sc 0")
+        r = parse_db2diag(
+            spark.createDataFrame([(line,)], "text string")
+        ).first()
+        assert r["db2_appname"] == "db2sy"
+
+    def test_chain_instance(self, spark):
+        from rsyslog_spark.config import apply_ruleset_parsers
+
+        line, _ = self._line()
+        conf = '''
+ruleset(name="r" parser=["db2.diag", "rsyslog.pmnull"]) {
+    action(type="omfile" file="/log/out.log")
+}
+'''
+        df = spark.createDataFrame([(line,)], "text string").withColumn(
+            "ts", F.lit("2024-01-15 12:00:00").cast("timestamp")
+        )
+        parsed, _ = apply_ruleset_parsers(df, conf, "r")
+        r = parsed.first()
+        assert r["parser"] == "db2.diag"
+        # severity 3 grafted onto the PRI-default facility (1*8+3=11)
+        assert (r["syslogfacility"], r["syslogseverity"]) == (1, 3)
+        assert r["app_name"] == "db2sysc"
+        assert r["procid"] == "12345"
+        assert r["msg"] == line
