@@ -69,6 +69,41 @@ def _loadavg() -> float:
         return 0.0
 
 
+def _watchdog_call(spark, fn, timeout_s: float):
+    """Run one timed trial with a hang watchdog.
+
+    Twice this round a task wedged FOREVER blocked on a socket read
+    from a pyspark worker that had died (jstack: BasePythonRunner
+    ReaderInputStream.read inside EPoll.wait) — an environment flake,
+    not a plan property, but it would turn the whole bench artifact
+    into a timeout. On expiry the jobs are cancelled and the trial is
+    reported as None (JSON null in the raw list — visible, not
+    silently dropped); best-of-k proceeds on the surviving trials."""
+    import threading
+
+    box: dict = {}
+
+    def run():
+        try:
+            box["v"] = fn()
+        except Exception as ex:  # surfaced by the caller
+            box["e"] = ex
+
+    th = threading.Thread(target=run, daemon=True)
+    th.start()
+    th.join(timeout_s)
+    if th.is_alive():
+        try:
+            spark.sparkContext.cancelAllJobs()
+        except Exception:
+            pass
+        th.join(30)
+        return None, True
+    if "e" in box:
+        raise box["e"]
+    return box.get("v"), False
+
+
 def bench_queries(
     spark, sf_dir: str, replicas: int, extra_runs: list | None = None
 ) -> tuple[dict, dict, int, list]:
@@ -131,6 +166,7 @@ def bench_queries(
     raw: dict[str, list] = {name: [] for name, _ in runs}
     loadavgs: list = []
     rows = 0
+    trial_timeout = float(os.environ.get("SPARK_GRAFT_TRIAL_TIMEOUT", "150"))
     for _ in range(n_trials):
         loadavgs.append(_loadavg())
         # drop persisted frames leaked by the previous round (the
@@ -140,11 +176,17 @@ def bench_queries(
         spark.catalog.clearCache()
         for name, fn in runs:
             t0 = time.monotonic()
-            n = fn()
+            n, hung = _watchdog_call(spark, fn, trial_timeout)
+            if hung:
+                raw[name].append(None)  # lost trial, visibly
+                continue
             raw[name].append(round(time.monotonic() - t0, 3))
             if name == "flagship_e2e":
                 rows = n
-    timings = {name: min(ts) for name, ts in raw.items()}
+    timings = {
+        name: min((t for t in ts if t is not None), default=-1.0)
+        for name, ts in raw.items()
+    }
     return timings, raw, rows, loadavgs
 
 
@@ -283,16 +325,19 @@ def main():
                 time.sleep(10)
             t0 = time.monotonic()
             extra_fn = dict(extra_runs)["steady_state"]
-            extra_fn()
-            ss_raw.append(round(time.monotonic() - t0, 3))
-            ss_sec = min(ss_sec, ss_raw[-1])
+            _, hung = _watchdog_call(spark, extra_fn, 150.0)
+            if not hung:
+                ss_raw.append(round(time.monotonic() - t0, 3))
+                good = [t for t in ss_raw if t is not None]
+                ss_sec = min(good) if good else -1.0
         except Exception:
             pass
         out["steady_state"] = {
             "rows": ss_rows["n"],
             "sec": ss_sec,
             "raw": ss_raw,
-            "rows_per_sec": round(ss_rows["n"] / ss_sec, 1),
+            "rows_per_sec": round(ss_rows["n"] / ss_sec, 1)
+            if ss_sec and ss_sec > 0 else None,
             "input": "materialized stored table",
             "protocol": "trials interleaved with the query rounds + one "
                         "quiet-window trial, best-of-k, raw seconds "
