@@ -65,9 +65,14 @@ _TS_LONG = r".{3} .{2} .{4} .{2}:.{2}:.{2} "
 # atomic (?>short|long): the C commits to the short shape when its
 # offsets match and never retries the long one, even if committing
 # makes the rest of the walk fail
+# NOTE the missing lookahead after '%': the C length check
+# `lenMsg < sizeof(": %")` (pmcisconames.c:123) counts the NUL *and*
+# runs BEFORE the space is skipped, so " : %" (4 chars) at the end of
+# the message satisfies it — a message ending exactly at '%' IS
+# rewritten (caught by the differential fuzz vs the C-walk simulator)
 _CISCO_PAT = (
     r"(?s)^( *+)((?>" + _TS_SHORT + r"|" + _TS_LONG + r"))"
-    r"([^ ]*+) (?i:: %)(?=.)"
+    r"([^ ]*+) (?i:: %)"
 )
 
 _AIX_PRE_PAT = (
