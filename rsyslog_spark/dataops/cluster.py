@@ -72,11 +72,37 @@ def _small_star(e: DataFrame) -> DataFrame:
     return via_nbrs.unionByName(via_self)
 
 
+def _union_find_labels(edges: list) -> dict:
+    """Driver-side union-find: node -> min reachable node id."""
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:
+            parent[x], x = r, parent[x]
+        return r
+
+    for u, v in edges:
+        for x in (u, v):
+            if x not in parent:
+                parent[x] = x
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            # union by MIN id so the root IS the component label
+            if rv < ru:
+                ru, rv = rv, ru
+            parent[rv] = ru
+    return {x: find(x) for x in parent}
+
+
 def connected_components(
     pairs: DataFrame,
     a: str = "a",
     b: str = "b",
     max_iter: int = 25,
+    small_graph_threshold: int = 1_000_000,
 ) -> DataFrame:
     """(node, component): component = min node id reachable from node.
 
@@ -92,6 +118,34 @@ def connected_components(
     """
     e = _canon(pairs.select(F.col(a).alias("u"), F.col(b).alias("v")))
     spark = pairs.sparkSession
+
+    # Size-gated fast path: a graph under ``small_graph_threshold``
+    # edges fits the driver trivially (1M int64 pairs = 16 MB — the
+    # TakeOrdered discipline: bounded rows cross, never the corpus),
+    # and the iterative machinery's per-round fixed cost (checkpoint
+    # job + convergence aggregates + 4 shuffles) dwarfs the work:
+    # measured 3.6 s for 262 edges at sf0.1 vs ~0.5 s via union-find.
+    # At 100 TB the VERIFIED near-dup edge set is still ~0.1-1% of the
+    # corpus; when it exceeds the gate, the alternating-star rounds
+    # below are the shape that scales (differential-tested equal).
+    if small_graph_threshold and small_graph_threshold > 0:
+        e = e.persist()
+        n_edges = e.count()
+        if n_edges <= small_graph_threshold:
+            labels = _union_find_labels(
+                [(r["u"], r["v"]) for r in e.collect()]
+            )
+            e.unpersist()
+            schema = (
+                e.select(
+                    F.col("u").alias("node"),
+                    F.col("v").alias("component"),
+                ).schema
+            )
+            return spark.createDataFrame(
+                sorted(labels.items()), schema
+            )
+        e.unpersist()
 
     def _sig(d: DataFrame):
         r = d.agg(

@@ -16,11 +16,13 @@ from pyspark.sql import functions as F
 from rsyslog_spark.dataops.cluster import connected_components, dup_clusters
 
 
-def _labels(spark, edges):
+def _labels(spark, edges, threshold=1_000_000):
     df = spark.createDataFrame(edges, "a long, b long")
     return {
         r["node"]: r["component"]
-        for r in connected_components(df).collect()
+        for r in connected_components(
+            df, small_graph_threshold=threshold
+        ).collect()
     }
 
 
@@ -57,9 +59,11 @@ class TestConnectedComponents:
 
     def test_long_chain_bridges_transitively(self, spark):
         # A~B, B~C, ... with no direct A~Z edge: the case pair-level
-        # dedup cannot express — every node must still label to 0
+        # dedup cannot express — every node must still label to 0.
+        # threshold=0 forces the ITERATIVE star path (worst case for
+        # round count: a path graph needs the full O(log n) rounds)
         n = 40
-        cc = _labels(spark, [(i, i + 1) for i in range(n)])
+        cc = _labels(spark, [(i, i + 1) for i in range(n)], threshold=0)
         assert set(cc.values()) == {0} and len(cc) == n + 1
 
     def test_self_loops_and_duplicate_edges_ignored(self, spark):
@@ -67,6 +71,9 @@ class TestConnectedComponents:
         assert cc == {6: 6, 7: 6}
 
     def test_random_graphs_match_union_find(self, spark):
+        # BOTH engines: the r4 size-gated driver union-find fast path
+        # (threshold default) and the iterative star rounds
+        # (threshold=0) must agree with the reference union-find
         rng = random.Random(7)
         for trial in range(3):
             nodes = list(range(trial * 100, trial * 100 + 60))
@@ -77,8 +84,10 @@ class TestConnectedComponents:
                 v: r for v, r in _uf_labels(edges).items()
                 if any(a != b and v in (a, b) for a, b in edges)
             }
-            got = _labels(spark, edges)
-            assert got == expected, f"trial {trial}"
+            got_fast = _labels(spark, edges)
+            got_iter = _labels(spark, edges, threshold=0)
+            assert got_fast == expected, f"trial {trial} fast"
+            assert got_iter == expected, f"trial {trial} iterative"
 
     def test_dup_clusters_shape(self, spark):
         pairs = spark.createDataFrame(
@@ -100,5 +109,13 @@ class TestConnectedComponents:
 
     def test_no_cartesian_in_plan(self, spark):
         pairs = spark.createDataFrame([(1, 2)], "a long, b long")
-        plan = connected_components(pairs)._jdf.queryExecution().executedPlan().toString()
+        plan = connected_components(
+            pairs, small_graph_threshold=0
+        )._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in plan
+
+    def test_empty_pairs_iterative(self, spark):
+        pairs = spark.createDataFrame([], "a long, b long")
+        assert connected_components(
+            pairs, small_graph_threshold=0
+        ).count() == 0
