@@ -153,6 +153,125 @@ def mm_normalize(
     return df.withColumn(out, F.map_from_arrays(F.array(keys), F.array(vals)))
 
 
+# liblognorm v1 field types -> regex fragments (the documented subset;
+# anything else is rejected loudly rather than silently mis-matched).
+# Sources: plugins/mmnormalize/mmnormalize.c (runs liblognorm over
+# $msg/rawmsg into the $! tree) and the public liblognorm v1 rulebase
+# syntax: %name:type[:extra]% tokens between literals, '%%' = literal
+# '%', unmatched lines yield {originalmsg, unparsed-data}.
+_LN_TYPES = {
+    "word": r"[^ ]+",
+    "number": r"\d+",
+    "alpha": r"[A-Za-z]+",
+    "rest": r"[\s\S]*",
+    "quoted-string": r"\"[^\"]*\"",
+    "ipv4": r"\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}",
+    "date-rfc3164": r"[A-Z][a-z]{2} (?: \d|\d\d) \d{2}:\d{2}:\d{2}",
+}
+
+
+def _ln_compile_pattern(pat: str) -> tuple[str, list[tuple[str, str]]]:
+    """One v1 rule pattern -> (anchored java regex, [(name, type)])."""
+    import re as _re
+
+    out, fields, i = ["^"], [], 0
+    n = len(pat)
+    while i < n:
+        c = pat[i]
+        if c == "%":
+            if i + 1 < n and pat[i + 1] == "%":
+                out.append(_re.escape("%"))
+                i += 2
+                continue
+            j = pat.index("%", i + 1)
+            spec = pat[i + 1:j].split(":")
+            name, ftype = spec[0], spec[1] if len(spec) > 1 else "word"
+            if ftype == "char-to":
+                if len(spec) < 3 or len(spec[2]) != 1:
+                    raise ValueError(
+                        f"liblognorm char-to needs one stop char: {pat!r}"
+                    )
+                frag = "[^" + _re.escape(spec[2]) + "]+"
+            elif ftype in _LN_TYPES:
+                frag = _LN_TYPES[ftype]
+            else:
+                raise ValueError(
+                    f"unsupported liblognorm field type {ftype!r} "
+                    f"(supported: {sorted(_LN_TYPES)} + char-to)"
+                )
+            if name == "-":
+                out.append("(?:" + frag + ")")
+            else:
+                out.append("(" + frag + ")")
+                fields.append((name, ftype))
+            i = j + 1
+        else:
+            out.append(_re.escape(c))
+            i += 1
+    out.append("$")
+    return "".join(out), fields
+
+
+def parse_rulebase(text: str) -> list:
+    """liblognorm v1 rulebase text -> [(regex, [(name, type)])] in file
+    order (liblognorm picks the first matching rule). Only ``rule=``
+    lines and comments are supported; ``prefix=``/``annotate=`` etc.
+    are rejected loudly."""
+    rules = []
+    for line in text.splitlines():
+        line = line.strip()
+        if not line or line.startswith("#"):
+            continue
+        if not line.startswith("rule="):
+            raise ValueError(
+                f"unsupported rulebase line (only rule= handled): {line!r}"
+            )
+        body = line[len("rule="):]
+        # rule=[tag1,tag2]:pattern — tags end at the first ':'
+        colon = body.index(":")
+        pattern = body[colon + 1:]
+        rules.append(_ln_compile_pattern(pattern))
+    return rules
+
+
+def mm_normalize_rulebase(
+    df: DataFrame,
+    rulebase: str,
+    msg_col: str = "msg",
+    out: str = "norm",
+) -> DataFrame:
+    """mmnormalize with an actual liblognorm v1 rulebase (subset).
+
+    First-match-wins over the rules in file order; the matching rule's
+    fields land in ``out`` (map<string,string> — the $! tree shape,
+    quoted-string values keep their quotes stripped). A message no
+    rule matches gets liblognorm's unparsed event:
+    {originalmsg: <msg>, unparsed-data: <msg>} (ln_normalize's
+    documented behavior, surfaced by mmnormalize into $!)."""
+    msg = F.coalesce(F.col(msg_col), F.lit(""))
+    unmatched = F.map_from_arrays(
+        F.array(F.lit("originalmsg"), F.lit("unparsed-data")),
+        F.array(msg, msg),
+    )
+    result = unmatched
+    for regex, fields in reversed(parse_rulebase(rulebase)):
+        vals = []
+        for k, (_name, ftype) in enumerate(fields):
+            v = F.regexp_extract(msg, regex, k + 1)
+            if ftype == "quoted-string":
+                # liblognorm strips the enclosing quotes from the value
+                v = F.regexp_replace(v, '^"|"$', "")
+            vals.append(v)
+        names = [nm for nm, _t in fields]
+        empty = F.array().cast("array<string>")
+        matched_map = F.map_from_arrays(
+            F.array(*[F.lit(nm) for nm in names]) if names else empty,
+            F.array(*vals) if vals else empty,
+        )
+        result = F.when(msg.rlike(regex), matched_map).otherwise(result)
+    return df.withColumn(out, result)
+
+
 def utf8fix_bytes(b: bytes, repl: int = 0x20, mode: str = "utf-8") -> bytes:
     """Byte-level mmutf8fix (plugins/mmutf8fix/mmutf8fix.c:196-296).
 

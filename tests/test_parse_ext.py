@@ -648,3 +648,55 @@ ruleset(name="r" parser=["db2.diag", "rsyslog.pmnull"]) {
         assert r["app_name"] == "db2sysc"
         assert r["procid"] == "12345"
         assert r["msg"] == line
+
+
+class TestLognormRulebase:
+    """mmnormalize with a real liblognorm v1 rulebase subset
+    (mods.mm_normalize_rulebase): first-match-wins, unparsed events,
+    quote stripping."""
+
+    RB = """
+# firewall events
+rule=:%host:word% %action:word% from %src:ipv4%
+rule=fw:%date:date-rfc3164% device=%dev:char-to:,%, msg=%m:quoted-string%
+rule=:pct %%done: %pct:number% then %-:word% end
+"""
+
+    def test_match_and_unparsed(self, spark):
+        from rsyslog_spark.mods import mm_normalize_rulebase
+
+        rows = [
+            (1, "web01 ACCEPT from 10.0.0.1"),
+            (2, 'Oct 11 11:11:11 device=fw-a, msg="hello there"'),
+            (3, "pct %done: 85 then skipme end"),
+            (4, "no rule matches this"),
+        ]
+        df = spark.createDataFrame(rows, "i long, msg string")
+        by = {r["i"]: dict(r["norm"])
+              for r in mm_normalize_rulebase(df, self.RB).collect()}
+        assert by[1] == {"host": "web01", "action": "ACCEPT",
+                         "src": "10.0.0.1"}
+        assert by[2] == {"date": "Oct 11 11:11:11", "dev": "fw-a",
+                         "m": "hello there"}     # quotes stripped
+        assert by[3] == {"pct": "85"}            # %- field not emitted
+        assert by[4] == {"originalmsg": "no rule matches this",
+                         "unparsed-data": "no rule matches this"}
+
+    def test_first_match_wins(self, spark):
+        from rsyslog_spark.mods import mm_normalize_rulebase
+
+        rb = ("rule=:%a:word% x\n"
+              "rule=:%b:word% %c:word%\n")
+        df = spark.createDataFrame([("foo x",)], "msg string")
+        got = dict(mm_normalize_rulebase(df, rb).first()["norm"])
+        assert got == {"a": "foo"}               # rule 1, not rule 2
+
+    def test_rejections(self, spark):
+        from rsyslog_spark.mods import parse_rulebase
+
+        with pytest.raises(ValueError, match="unsupported liblognorm"):
+            parse_rulebase("rule=:%x:json%")
+        with pytest.raises(ValueError, match="only rule="):
+            parse_rulebase("prefix=%date:date-rfc3164%")
+        with pytest.raises(ValueError, match="char-to"):
+            parse_rulebase("rule=:%x:char-to%")
