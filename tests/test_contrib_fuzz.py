@@ -206,3 +206,128 @@ class TestContribFuzz:
         exp = [sim_snare(t, rep) for t in CORPUS]
         bad = [(t, g, e) for t, g, e in zip(CORPUS, got, exp) if g != e]
         assert not bad, bad[:3]
+
+
+# --- pmdb2diag differential ------------------------------------------
+
+def sim_db2diag(s: str, levelpos=59, timepos=0,
+                timeformat="%Y-%m-%d-%H.%M.%S.", pid_shift=49):
+    """contrib/pmdb2diag/pmdb2diag.c:62-146 transcription. Returns
+    (ok, severity, ts_utc_micros, procid, appname) with None for unset
+    fields; timestamp via Python's OWN strptime — an independent
+    implementation from the Column regex."""
+    import time as _time
+
+    n = len(s)
+    if n < levelpos + 4:
+        return (False, None, None, None, None)
+    lvl = s[levelpos:levelpos + 1]
+    table = {"C": (0, 8), "A": (1, 5), "S": (2, 6), "W": (4, 7),
+             "I": (6, 4), "D": (7, 5)}
+    if lvl in table:
+        sev, lvl_len = table[lvl]
+    elif lvl == "E":
+        sev = 3 if s[levelpos + 1:levelpos + 2] == "r" else 5
+        lvl_len = 5
+    else:
+        return (True, None, None, None, None)   # ABORT_FINALIZE(0)
+    if n < levelpos + lvl_len:
+        return (False, None, None, None, None)
+
+    ts_us = None
+    # strptime needs an exact prefix; emulate C strptime's partial
+    # match by trying successively longer prefixes of the region
+    region = s[timepos:]
+    fmt = timeformat
+    matched_len = None
+    for ln in range(len(fmt), len(region) + 1):
+        try:
+            tm = _time.strptime(region[:ln], fmt)
+            matched_len = ln
+            break
+        except ValueError:
+            continue
+    if matched_len is not None:
+        rest = region[matched_len:]
+        i = 0
+        while i < len(rest) and rest[i].isdigit():
+            i += 1
+        frac_digits = rest[:i]
+        tz = 0
+        if i < len(rest) and rest[i] in "+-":
+            j = i + 1
+            while j < len(rest) and rest[j].isdigit():
+                j += 1
+            if j > i + 1:
+                tz = int(rest[i + 1:j]) * (1 if rest[i] == "+" else -1)
+        import calendar
+        epoch = calendar.timegm(tm)
+        frac = (int(frac_digits) / (10 ** len(frac_digits))
+                if frac_digits else 0.0)
+        ts_us = int(round((epoch + frac - tz * 60) * 1_000_000))
+
+    procid = appname = None
+    colon = s.find(":", levelpos + lvl_len)
+    if colon >= 0:
+        pid_start = colon + 2
+        sp = s.find(" ", pid_start)
+        if sp >= 0:
+            procid = s[pid_start:sp]
+        prog_start = pid_start + pid_shift
+        if prog_start < n:
+            ep = s.find(" ", prog_start)
+            bs = s.find("\\", prog_start)
+            stops = [x for x in (ep, bs) if x >= 0]
+            stop = min(stops) if stops else n
+            appname = s[prog_start:stop]
+    return (True, sev, ts_us, procid, appname)
+
+
+def _gen_db2(seed: int, n: int) -> list:
+    rng = random.Random(seed)
+    out = []
+    levels = ["Error", "Event", "Warni", "Info", "Debug", "Criti",
+              "Alert", "Sever", "Xyzzy", "Er"]
+    for _ in range(n):
+        ts = (f"2024-{rng.randrange(1, 13):02d}-"
+              f"{rng.randrange(1, 29):02d}-"
+              f"{rng.randrange(0, 24):02d}.{rng.randrange(0, 60):02d}."
+              f"{rng.randrange(0, 60):02d}.")
+        ts += rng.choice(["", "123", "123456"])
+        ts += rng.choice(["", "+060", "-300", "+0"])
+        body = ts + " " * max(0, 59 - len(ts)) + rng.choice(levels)
+        if rng.random() < 0.8:
+            body += rng.choice([" PID : 12345 ", " PID :", "  x "])
+        pad = rng.randrange(0, 60)
+        body += "p" * pad
+        if rng.random() < 0.5:
+            body += rng.choice(["db2sysc 0", "db2sy\\sc", "prog"])
+        if rng.random() < 0.1:
+            body = body[:rng.randrange(0, len(body))]
+        out.append(body)
+    return out
+
+
+class TestDb2Fuzz:
+    def test_differential(self, spark):
+        from rsyslog_spark.parse.db2diag import parse_db2diag
+
+        corpus = _gen_db2(424242, 250)
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(corpus)], "i long, text string"
+        )
+        rows = {r["i"]: r for r in parse_db2diag(df).collect()}
+        bad = []
+        for i, t in enumerate(corpus):
+            ok, sev, ts_us, procid, appname = sim_db2diag(t)
+            r = rows[i]
+            got_ts = (int(r["db2_ts"].timestamp() * 1_000_000)
+                      if r["db2_ts"] is not None else None)
+            got = (r["db2_ok"], r["db2_severity"], got_ts,
+                   r["db2_procid"], r["db2_appname"])
+            # severity/ts only materialize past the full-level check in
+            # the impl; sim mirrors that by construction
+            exp = (ok, sev, ts_us, procid, appname)
+            if got != exp:
+                bad.append((t, got, exp))
+        assert not bad, bad[:3]
