@@ -12,13 +12,14 @@ expressions, folded right-to-left into first-accept ``when`` cascades —
 the same shape as the default rfc5424->rfc3164 chain, but built from
 config-declared instances.
 
-Supported instance types: ``pmciscoios`` and ``pmnull`` (including
-their default instances ``rsyslog.ciscoios`` / ``rsyslog.pmnull``),
-plus the contrib REWRITERS ``pmcisconames`` / ``pmaixforwardedfrom``
-(r4): those always decline the message (the reference returns
-RS_RET_COULD_NOT_PARSE) but mutate the post-PRI raw in place, so every
-LATER instance — and pmnull's full-raw MSG — sees the rewritten text,
-exactly like the C memmove on pszRawMsg.
+Supported instance types: the field parsers ``pmciscoios``,
+``pmnull`` and ``pmdb2diag`` (default instances ``rsyslog.ciscoios``
+/ ``rsyslog.pmnull`` / ``db2.diag``), plus the contrib REWRITERS
+``pmcisconames`` / ``pmaixforwardedfrom`` / ``pmsnare`` /
+``pmpanngfw`` (r4): those always decline the message (the reference
+returns RS_RET_COULD_NOT_PARSE) but mutate the post-PRI raw in place,
+so every LATER instance — and pmnull's full-raw MSG — sees the
+rewritten text, exactly like the C memmove on pszRawMsg.
 The rfc3164/rfc5424 builtins ARE the default chain
 (``parse.with_parsed``) — mixing them into a custom chain is rejected
 loudly rather than half-modeled (the reference allows it; modeling it
