@@ -69,6 +69,53 @@ def kafka_records_to_messages(
     )
 
 
+def imkafka_options(inst: dict) -> dict:
+    """imkafka input() instance params -> Spark Kafka source options.
+
+    Mirrors imkafka.c's instance block (imkafka.c:144-151): ``topic``
+    (required), ``broker`` (array; default "localhost:9092",
+    imkafka.c:290), ``consumergroup`` -> kafka.group.id, and
+    ``confparam`` entries ("key=value" librdkafka settings) passed
+    through with the ``kafka.`` prefix Spark requires. ``ruleset``
+    binds downstream (the caller routes the message frame), and
+    ``parsehostname`` is chain behavior, not a reader option — both
+    are returned untouched under ``_pipeline`` so nothing is silently
+    dropped. Unknown keys are loud errors like the reference's param
+    block."""
+    known = {"topic", "broker", "confparam", "consumergroup",
+             "ruleset", "parsehostname"}
+    unknown = set(inst) - known
+    if unknown:
+        raise ValueError(
+            f"imkafka: unknown input param(s) {sorted(unknown)} "
+            "(imkafka.c:144-151)"
+        )
+    if "topic" not in inst:
+        raise ValueError("imkafka: 'topic' is required (CNFPARAM_REQUIRED)")
+    brokers = inst.get("broker", ["localhost:9092"])
+    if isinstance(brokers, str):
+        brokers = [brokers]
+    opts = {
+        "kafka.bootstrap.servers": ",".join(brokers),
+        "subscribe": inst["topic"],
+    }
+    if inst.get("consumergroup"):
+        opts["kafka.group.id"] = inst["consumergroup"]
+    for cp in inst.get("confparam", []) or []:
+        if "=" not in cp:
+            raise ValueError(
+                f"imkafka confparam needs key=value, got {cp!r}"
+            )
+        k, v = cp.split("=", 1)
+        opts[f"kafka.{k.strip()}"] = v.strip()
+    pipeline = {
+        k: inst[k] for k in ("ruleset", "parsehostname") if k in inst
+    }
+    if pipeline:
+        opts["_pipeline"] = pipeline
+    return opts
+
+
 def read_kafka_stream(
     spark: SparkSession,
     bootstrap_servers: str,

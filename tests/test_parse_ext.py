@@ -700,3 +700,38 @@ rule=:pct %%done: %pct:number% then %-:word% end
             parse_rulebase("prefix=%date:date-rfc3164%")
         with pytest.raises(ValueError, match="char-to"):
             parse_rulebase("rule=:%x:char-to%")
+
+
+class TestImkafkaOptions:
+    def test_param_mapping(self):
+        from rsyslog_spark.sources.kafka import imkafka_options
+
+        opts = imkafka_options({
+            "topic": "syslog",
+            "broker": ["k1:9092", "k2:9092"],
+            "consumergroup": "rsyslog",
+            "confparam": ["session.timeout.ms=30000",
+                          "fetch.max.bytes = 1048576"],
+            "ruleset": "kafka_rs",
+        })
+        assert opts["kafka.bootstrap.servers"] == "k1:9092,k2:9092"
+        assert opts["subscribe"] == "syslog"
+        assert opts["kafka.group.id"] == "rsyslog"
+        assert opts["kafka.session.timeout.ms"] == "30000"
+        assert opts["kafka.fetch.max.bytes"] == "1048576"
+        assert opts["_pipeline"] == {"ruleset": "kafka_rs"}
+
+    def test_defaults_and_rejections(self):
+        import pytest as _pt
+
+        from rsyslog_spark.sources.kafka import imkafka_options
+
+        opts = imkafka_options({"topic": "t"})
+        # imkafka.c:290 default broker
+        assert opts["kafka.bootstrap.servers"] == "localhost:9092"
+        with _pt.raises(ValueError, match="required"):
+            imkafka_options({})
+        with _pt.raises(ValueError, match="unknown input param"):
+            imkafka_options({"topic": "t", "bogus": 1})
+        with _pt.raises(ValueError, match="key=value"):
+            imkafka_options({"topic": "t", "confparam": ["oops"]})
