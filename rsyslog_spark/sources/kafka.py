@@ -74,7 +74,7 @@ def imkafka_options(inst: dict) -> dict:
 
     Mirrors imkafka.c's instance block (imkafka.c:144-151): ``topic``
     (required), ``broker`` (array; default "localhost:9092",
-    imkafka.c:290), ``consumergroup`` -> kafka.group.id, and
+    imkafka.c:589), ``consumergroup`` -> kafka.group.id, and
     ``confparam`` entries ("key=value" librdkafka settings) passed
     through with the ``kafka.`` prefix Spark requires. ``ruleset``
     binds downstream (the caller routes the message frame), and

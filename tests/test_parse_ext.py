@@ -727,7 +727,7 @@ class TestImkafkaOptions:
         from rsyslog_spark.sources.kafka import imkafka_options
 
         opts = imkafka_options({"topic": "t"})
-        # imkafka.c:290 default broker
+        # imkafka.c:589 default broker
         assert opts["kafka.bootstrap.servers"] == "localhost:9092"
         with _pt.raises(ValueError, match="required"):
             imkafka_options({})
