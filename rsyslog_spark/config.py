@@ -59,6 +59,7 @@ from rsyslog_spark.route import (
     CallIndirect,
     Foreach,
     If,
+    Normalize,
     RouteCompiler,
     Ruleset,
     Set,
@@ -440,11 +441,13 @@ class _Parser:
             return
         raise ValueError(f"unsupported config statement at {v!r}")
 
-    def action(self, p: dict[str, str]) -> Action | Stop:
+    def action(self, p: dict[str, str]) -> Action | Stop | Normalize:
         typ = p.get("type", "omfile")
         if typ == "omdiscard":
             # optimizer rewrite omdiscard -> STOP (rainerscript.c:5088)
             return Stop()
+        if typ == "mmnormalize":
+            return self._mmnormalize_action(p)
         if typ != "omfile":
             raise ValueError(f"unsupported action type {typ!r}")
         path = p.get("file") or p.get("dynafile") or p.get("dynfile")
@@ -475,6 +478,69 @@ class _Parser:
                 exec_when_prev_suspended=eowps, errorfile=errf,
             )
         return Action(sink, exec_when_prev_suspended=eowps, errorfile=errf)
+
+    def _mmnormalize_action(self, p: dict) -> Normalize:
+        """action(type="mmnormalize" ...) -> Normalize statement.
+
+        Param block per plugins/mmnormalize/mmnormalize.c:94-99
+        (rulebase / rule / path / userawmsg / variable) with the
+        newActInst validation walk (mmnormalize.c:348-423):
+
+        - exactly one of rule=/rulebase= (both -> "only one rulebase
+          possible", neither -> "rulebase needed");
+        - rule= is an ARRAY of rulebase lines joined with newlines
+          (the strcat loop, mmnormalize.c:354-372);
+        - rulebase= names a FILE, loaded at config time (ln_loadSamples
+          at activation, buildInstance);
+        - path= must be >= 2 chars and start with '$' — an invalid
+          path keeps the DEFAULT "$!" (the reference only LogErrors and
+          continues, mmnormalize.c:378-392);
+        - variable= is IGNORED when userawmsg is on (LogError + raw
+          message wins, mmnormalize.c:399-410).
+        """
+        from rsyslog_spark.mods import parse_rulebase
+
+        rule = p.get("rule")
+        rb_file = p.get("rulebase")
+        if rule is not None and rb_file is not None:
+            raise ValueError(
+                "mmnormalize: only one rulebase possible, rulebase "
+                "can't be used with rule (mmnormalize.c:417-421)"
+            )
+        if rule is None and rb_file is None:
+            raise ValueError(
+                "mmnormalize: rulebase needed. Use option rulebase or "
+                "rule. (mmnormalize.c:411-416)"
+            )
+        if rule is not None:
+            lines = rule if isinstance(rule, list) else [rule]
+            text = "\n".join(lines) + "\n"
+        else:
+            try:
+                with open(rb_file) as fh:
+                    text = fh.read()
+            except OSError as e:
+                raise ValueError(
+                    f"mmnormalize: normalization rulebase {rb_file!r} "
+                    f"could not be loaded cannot activate action "
+                    f"(ln_loadSamples, mmnormalize.c:147-152): {e}"
+                ) from e
+        path = p.get("path", "$!")
+        if len(path) < 2 or not path.startswith("$"):
+            # reference logs and keeps the default (no abort)
+            path = "$!"
+        prefix = path[2:] + "!" if len(path) > 2 else ""
+        use_raw = p.get("userawmsg", "off") in ("on", "1")
+        variable = p.get("variable")
+        if variable is not None and use_raw:
+            # 'variable' can't be used with 'useRawMsg' — raw wins
+            variable = None
+        return Normalize(
+            rules=parse_rulebase(text),
+            prefix=prefix,
+            use_rawmsg=use_raw,
+            variable=variable,
+        )
 
     # -- expressions -----------------------------------------------------
     # Reference precedence (grammar.y:120-124), lowest to highest:

@@ -249,12 +249,23 @@ def mm_normalize_rulebase(
     {originalmsg: <msg>, unparsed-data: <msg>} (ln_normalize's
     documented behavior, surfaced by mmnormalize into $!)."""
     msg = F.coalesce(F.col(msg_col), F.lit(""))
+    return df.withColumn(
+        out, rulebase_map_expr(msg, parse_rulebase(rulebase))
+    )
+
+
+def rulebase_map_expr(msg, rules: list, key_prefix: str = ""):
+    """First-match rule cascade -> map<string,string> Column over
+    ``msg``. ``key_prefix`` prepends the flat-key path (mmnormalize's
+    path="$!x" -> prefix "x!"); the unparsed event keys are prefixed
+    too (msgAddJSON grafts the WHOLE liblognorm result at the path)."""
     unmatched = F.map_from_arrays(
-        F.array(F.lit("originalmsg"), F.lit("unparsed-data")),
+        F.array(F.lit(key_prefix + "originalmsg"),
+                F.lit(key_prefix + "unparsed-data")),
         F.array(msg, msg),
     )
     result = unmatched
-    for regex, fields in reversed(parse_rulebase(rulebase)):
+    for regex, fields in reversed(rules):
         vals = []
         for k, (_name, ftype) in enumerate(fields):
             v = F.regexp_extract(msg, regex, k + 1)
@@ -262,14 +273,14 @@ def mm_normalize_rulebase(
                 # liblognorm strips the enclosing quotes from the value
                 v = F.regexp_replace(v, '^"|"$', "")
             vals.append(v)
-        names = [nm for nm, _t in fields]
+        names = [key_prefix + nm for nm, _t in fields]
         empty = F.array().cast("array<string>")
         matched_map = F.map_from_arrays(
             F.array(*[F.lit(nm) for nm in names]) if names else empty,
             F.array(*vals) if vals else empty,
         )
         result = F.when(msg.rlike(regex), matched_map).otherwise(result)
-    return df.withColumn(out, result)
+    return result
 
 
 def utf8fix_bytes(b: bytes, repl: int = 0x20, mode: str = "utf-8") -> bytes:

@@ -131,6 +131,19 @@ class Unset:
 
 
 @dataclass
+class Normalize:
+    """action(type="mmnormalize"): run a liblognorm rulebase over the
+    message and graft the result into the $! tree
+    (plugins/mmnormalize/mmnormalize.c doAction: source = rawmsg when
+    userawmsg, else the ``variable`` property, else MSG; result merged
+    at ``path`` via msgAddJSON; MsgSetParseSuccess(1) on success)."""
+    rules: list                 # mods.parse_rulebase output
+    prefix: str = ""            # flat-key prefix ('' = $! root)
+    use_rawmsg: bool = False
+    variable: str | None = None
+
+
+@dataclass
 class Call:
     ruleset: str
     queued: bool = False
@@ -247,6 +260,12 @@ def _check_foreach_body(
                 "in this engine (the loop runs on a branched exploded "
                 "frame); restructure as an if around the loop"
             )
+        elif isinstance(st, Normalize):
+            raise ValueError(
+                "mmnormalize inside a foreach body mutates non-loop "
+                "variables, which do not persist past the loop in this "
+                "engine; move the action before the loop"
+            )
         elif isinstance(st, (If, PriFilt, PropFilt)):
             _check_foreach_body(st.then, loop_vars, rulesets, _seen)
             _check_foreach_body(st.els, loop_vars, rulesets, _seen)
@@ -264,7 +283,7 @@ def _check_foreach_body(
 
 def _has_mutation(stmts: list) -> bool:
     for st in stmts:
-        if isinstance(st, (Set, Unset, Foreach)):
+        if isinstance(st, (Set, Unset, Foreach, Normalize)):
             return True
         for sub in ("then", "els", "body"):
             if hasattr(st, sub) and _has_mutation(getattr(st, sub)):
@@ -433,6 +452,8 @@ class RouteCompiler:
                 self._apply_set(st, path & ~stopped)
             elif isinstance(st, Unset):
                 self._apply_unset(st, path & ~stopped)
+            elif isinstance(st, Normalize):
+                self._apply_normalize(st, path & ~stopped)
             elif isinstance(st, Call):
                 if st.ruleset in calling:
                     raise ValueError(f"recursive call to {st.ruleset}")
@@ -467,6 +488,47 @@ class RouteCompiler:
         self._df = self._df.withColumn(
             v, F.when(active, updated).otherwise(cur)
         )
+
+    def _apply_normalize(self, st: Normalize, active: Column):
+        from rsyslog_spark.mods import rulebase_map_expr
+        from rsyslog_spark.templates import resolve_property
+
+        if st.use_rawmsg:
+            src = F.col("rawmsg")
+        elif st.variable:
+            name = st.variable
+            if name.startswith(("$!", "$.")):
+                src = F.element_at(F.col(self._vars_col), name[2:])
+            else:
+                src = resolve_property(name.lstrip("$"))
+        else:
+            src = F.col("msg")
+        norm = rulebase_map_expr(
+            F.coalesce(src, F.lit("")), st.rules, st.prefix
+        )
+        v = self._vars_col
+        cur = F.col(v)
+        # msgAddJSON merge: keys from the normalization result replace
+        # same-named existing keys; everything else is kept
+        merged = F.map_concat(
+            F.map_filter(
+                cur,
+                lambda k, _: ~F.array_contains(F.map_keys(norm), k),
+            ),
+            norm,
+        )
+        self._df = self._df.withColumn(
+            v, F.when(active, merged).otherwise(cur)
+        )
+        # MsgSetParseSuccess(pMsg, 1): ln_normalize reports success
+        # even for unmatched lines (they become the unparsed event)
+        if "parse_success" in self._df.columns:
+            self._df = self._df.withColumn(
+                "parse_success",
+                F.when(active, F.lit(True)).otherwise(
+                    F.col("parse_success")
+                ),
+            )
 
     def _apply_unset(self, st: Unset, active: Column):
         v = self._vars_col

@@ -327,3 +327,165 @@ class TestGlobalVars:
             )
         with pytest.raises(ValueError, match="read-only"):
             parse_config('ruleset(name="g") { unset $/x; stop }')
+
+
+class TestMMNormalizeConfig:
+    """action(type="mmnormalize" ...) in config text -> Normalize
+    statement in the routing walk (plugins/mmnormalize/mmnormalize.c
+    newActInst + doAction). Sequential semantics: fields extracted by
+    the action are visible to every LATER filter/template."""
+
+    @pytest.fixture(scope="class")
+    def df(self, spark):
+        rows = [
+            (1, "web01 ACCEPT from 10.0.0.9", "<13>raw1 DENY from 10.9.9.9"),
+            (2, "web02 ACCEPT from 10.0.0.1", "<13>raw2 DENY from 10.9.9.8"),
+            (3, "no rule matches this", "<13>rawgarbage"),
+        ]
+        return spark.createDataFrame(
+            rows, "i long, msg string, rawmsg string"
+        ).withColumn("parse_success", F.lit(True))
+
+    CONF = """
+    template(name="nt" type="string" string="h=%$!host% s=%$!src%")
+    ruleset(name="n") {
+        action(type="mmnormalize"
+               rule=["rule=:%host:word% ACCEPT from %src:ipv4%"])
+        if $!src == "10.0.0.9" then {
+            action(type="omfile" file="/x/hit.log")
+        }
+        action(type="omfile" file="/x/all.log" template="nt")
+    }
+    """
+
+    def test_extract_filter_template(self, df):
+        ann, actions = compile_config(df, self.CONF, entry="n")
+        counts = _counts(ann, actions)
+        assert counts == {"hit": 1, "all": 3}
+        out = next(a for a in actions if a.sink == "all")
+        by = {r["i"]: r["x"] for r in out.output(ann)
+              .select("i", F.col(out.out_col).alias("x")).collect()}
+        assert by[1] == "h=web01 s=10.0.0.9"
+        assert by[2] == "h=web02 s=10.0.0.1"
+        assert by[3] == "h= s="           # unparsed -> fields unset
+
+    def test_unparsed_event_and_parse_success(self, df):
+        ann, _ = compile_config(df, self.CONF, entry="n")
+        r3 = ann.filter(F.col("i") == 3).first()
+        assert dict(r3["vars"]) == {
+            "originalmsg": "no rule matches this",
+            "unparsed-data": "no rule matches this",
+        }
+        # MsgSetParseSuccess(1) even for the unparsed event (r==0)
+        assert r3["parse_success"] is True
+
+    def test_path_prefix(self, df):
+        conf = """
+        ruleset(name="n") {
+            action(type="mmnormalize" path="$!nrm"
+                   rule=["rule=:%host:word% ACCEPT from %src:ipv4%"])
+            if $!nrm!src startswith "10." then {
+                action(type="omfile" file="/x/hit.log")
+            }
+        }
+        """
+        ann, actions = compile_config(df, conf, entry="n")
+        assert _counts(ann, actions) == {"hit": 2}
+        v = dict(ann.filter(F.col("i") == 1).first()["vars"])
+        assert v == {"nrm!host": "web01", "nrm!src": "10.0.0.9"}
+
+    def test_invalid_path_keeps_default(self, df):
+        # reference LogErrors and keeps "$!" (mmnormalize.c:378-392)
+        for bad in ("x", "e"):
+            conf = ('ruleset(name="n") { action(type="mmnormalize" '
+                    f'path="{bad}" '
+                    'rule=["rule=:%h:word% ACCEPT from %s:ipv4%"]) }')
+            ann, _ = compile_config(df, conf, entry="n")
+            v = dict(ann.filter(F.col("i") == 1).first()["vars"])
+            assert v == {"h": "web01", "s": "10.0.0.9"}
+
+    def test_userawmsg(self, df):
+        conf = """
+        ruleset(name="n") {
+            action(type="mmnormalize" useRawMsg="on"
+                   rule=["rule=:<13>%tag:word% DENY from %src:ipv4%"])
+        }
+        """
+        ann, _ = compile_config(df, conf, entry="n")
+        v = dict(ann.filter(F.col("i") == 1).first()["vars"])
+        assert v == {"tag": "raw1", "src": "10.9.9.9"}
+
+    def test_variable_source(self, df):
+        conf = """
+        ruleset(name="n") {
+            set $.src = "fw01 ACCEPT from 172.16.0.1";
+            action(type="mmnormalize" variable="$.src"
+                   rule=["rule=:%h:word% ACCEPT from %s:ipv4%"])
+        }
+        """
+        ann, _ = compile_config(df, conf, entry="n")
+        v = dict(ann.filter(F.col("i") == 1).first()["vars"])
+        assert v["h"] == "fw01" and v["s"] == "172.16.0.1"
+
+    def test_variable_ignored_with_userawmsg(self, df):
+        # mmnormalize.c:399-404: raw message wins, variable ignored
+        conf = """
+        ruleset(name="n") {
+            set $.src = "fw01 ACCEPT from 172.16.0.1";
+            action(type="mmnormalize" useRawMsg="on" variable="$.src"
+                   rule=["rule=:<13>%tag:word% DENY from %src:ipv4%"])
+        }
+        """
+        ann, _ = compile_config(df, conf, entry="n")
+        v = dict(ann.filter(F.col("i") == 2).first()["vars"])
+        assert v["tag"] == "raw2" and v["src"] == "10.9.9.8"
+
+    def test_merge_keeps_and_overwrites(self, df):
+        # msgAddJSON: result keys replace same-named existing keys,
+        # everything else in the tree survives
+        conf = """
+        ruleset(name="n") {
+            set $!keep = "K";
+            set $!src = "stale";
+            action(type="mmnormalize"
+                   rule=["rule=:%host:word% ACCEPT from %src:ipv4%"])
+        }
+        """
+        ann, _ = compile_config(df, conf, entry="n")
+        v = dict(ann.filter(F.col("i") == 1).first()["vars"])
+        assert v["keep"] == "K" and v["src"] == "10.0.0.9"
+
+    def test_rulebase_file(self, df, tmp_path):
+        rb = tmp_path / "fw.rb"
+        rb.write_text("# fw rules\n"
+                      "rule=:%h:word% ACCEPT from %s:ipv4%\n")
+        conf = ('ruleset(name="n") { action(type="mmnormalize" '
+                f'rulebase="{rb}") }}')
+        ann, _ = compile_config(df, conf, entry="n")
+        v = dict(ann.filter(F.col("i") == 2).first()["vars"])
+        assert v == {"h": "web02", "s": "10.0.0.1"}
+
+    def test_param_validation(self, df):
+        with pytest.raises(ValueError, match="only one rulebase"):
+            parse_config('ruleset(name="n") { action(type="mmnormalize" '
+                         'rulebase="/x.rb" rule=["rule=:%a:word%"]) }')
+        with pytest.raises(ValueError, match="rulebase needed"):
+            parse_config('ruleset(name="n") { '
+                         'action(type="mmnormalize") }')
+        with pytest.raises(ValueError, match="could not be loaded"):
+            parse_config('ruleset(name="n") { action(type="mmnormalize" '
+                         'rulebase="/nonexistent/x.rb") }')
+
+    def test_rejected_in_foreach(self, df):
+        conf = """
+        ruleset(name="n") {
+            foreach ($.x in $!arr) do {
+                action(type="mmnormalize" rule=["rule=:%a:word%"])
+            }
+        }
+        """
+        src = df.withColumn(
+            "vars", F.create_map(F.lit("arr"), F.lit("[1,2]"))
+        )
+        with pytest.raises(ValueError, match="foreach"):
+            compile_config(src, conf, entry="n")
