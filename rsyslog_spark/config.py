@@ -1147,6 +1147,11 @@ def apply_ruleset_parsers(
         elif nm == "db2.diag":
             # PARSER_NAME in contrib/pmdb2diag/pmdb2diag.c:48
             instances.append({"name": nm, "type": "pmdb2diag"})
+        elif nm == "rsyslog.pmnormalize":
+            # PARSER_NAME in plugins/pmnormalize/pmnormalize.c:46 —
+            # resolves, then fails instance validation (a rulebase is
+            # mandatory, so only parser() objects are usable)
+            instances.append({"name": nm, "type": "pmnormalize"})
         else:
             raise ValueError(
                 f"parser {nm!r} not found (RS_RET_PARSER_NAME_NOT_FOUND)"

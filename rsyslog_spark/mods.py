@@ -187,11 +187,17 @@ def _ln_compile_pattern(pat: str) -> tuple[str, list[tuple[str, str]]]:
             spec = pat[i + 1:j].split(":")
             name, ftype = spec[0], spec[1] if len(spec) > 1 else "word"
             if ftype == "char-to":
-                if len(spec) < 3 or len(spec[2]) != 1:
+                stop = spec[2] if len(spec) >= 3 else ""
+                if _re.fullmatch(r"\\x[0-9a-fA-F]{2}", stop):
+                    # \x3a-style escape — the only way to express ':'
+                    # as a stop char, since ':' separates the spec
+                    # (reference rulebases use char-to:\x3a)
+                    stop = chr(int(stop[2:], 16))
+                if len(stop) != 1:
                     raise ValueError(
                         f"liblognorm char-to needs one stop char: {pat!r}"
                     )
-                frag = "[^" + _re.escape(spec[2]) + "]+"
+                frag = "[^" + _re.escape(stop) + "]+"
             elif ftype in _LN_TYPES:
                 frag = _LN_TYPES[ftype]
             else:

@@ -13,8 +13,11 @@ the same shape as the default rfc5424->rfc3164 chain, but built from
 config-declared instances.
 
 Supported instance types: the field parsers ``pmciscoios``,
-``pmnull`` and ``pmdb2diag`` (default instances ``rsyslog.ciscoios``
-/ ``rsyslog.pmnull`` / ``db2.diag``), plus the contrib REWRITERS
+``pmnull``, ``pmdb2diag`` and ``pmnormalize`` (default instances
+``rsyslog.ciscoios`` / ``rsyslog.pmnull`` / ``db2.diag``;
+``rsyslog.pmnormalize`` resolves but needs a rulebase, so only
+parser() objects are usable — pmnormalize.c:196-205), plus the contrib
+REWRITERS
 ``pmcisconames`` / ``pmaixforwardedfrom`` / ``pmsnare`` /
 ``pmpanngfw`` (r4): those always decline the message (the reference
 returns RS_RET_COULD_NOT_PARSE) but mutate the post-PRI raw in place,
@@ -174,6 +177,22 @@ def build_custom_chain(
                 "appname": F.col(f"{pfx}appname"),
                 "procid": F.col(f"{pfx}procid"),
             })
+        elif ptype == "pmnormalize":
+            # plugins/pmnormalize/pmnormalize.c: always-accept parser
+            # (parse2 keeps RS_RET_OK even when ln_normalize fails) that
+            # runs the liblognorm rulebase over the RAW message from
+            # offset 0 (MsgSetMSGoffs(pMsg,0) + getRawMsg,
+            # pmnormalize.c:224-240) and maps the result's TOP-LEVEL
+            # keys through msgSetPropViaJSON (msg.c:4599-4674): only
+            # well-known property names set message fields; unknown
+            # names are silently ignored (msg.c:4663-4666). An
+            # unmatched line yields the {originalmsg, unparsed-data}
+            # event — both unknown names, so nothing changes and MSG
+            # stays the full raw.
+            out, br = _pmnormalize_branch(
+                out, _pmnormalize_rules(inst), idx, name
+            )
+            branches.append(br)
         elif ptype in ("rfc3164", "rfc5424", "rsyslog.rfc3164",
                        "rsyslog.rfc5424"):
             raise ValueError(
@@ -190,6 +209,8 @@ def build_custom_chain(
         "pri": F.lit(None).cast("int"),
         "msg": null_s, "ts": null_t,
         "appname": null_s, "procid": null_s,
+        "hostname": null_s, "msgid": null_s, "sd": null_s,
+        "fromhost": null_s, "fromhost_ip": null_s,
     }
     accepted = F.lit(False)
     for br in reversed(branches):
@@ -213,6 +234,11 @@ def build_custom_chain(
         .withColumn("syslogseverity", severity_expr(F.col("pri")))
         .withColumn("app_name", sel["appname"])
         .withColumn("procid", sel["procid"])
+        .withColumn("hostname", sel["hostname"])
+        .withColumn("msgid", sel["msgid"])
+        .withColumn("structured_data", sel["sd"])
+        .withColumn("fromhost", sel["fromhost"])
+        .withColumn("fromhost_ip", sel["fromhost_ip"])
     )
     # drop per-instance scratch columns
     scratch = [
@@ -220,3 +246,131 @@ def build_custom_chain(
         if c.startswith("_cc") or c in ("rawmsg_after_pri", "_pri_prefix")
     ]
     return out.drop(*scratch)
+
+
+# msgSetPropViaJSON's well-known property names (runtime/msg.c:4612-4662).
+# "source" is the documented alias for hostname (msg.c:4645). Names NOT
+# in this set are silently ignored, like the reference (msg.c:4663-4666).
+_PMNORM_KNOWN = {
+    "msg", "syslogtag", "pri", "syslogfacility", "syslogseverity",
+    "procid", "msgid", "structured-data", "hostname", "source",
+    "fromhost", "fromhost-ip",
+}
+# Properties the reference maps but this engine does not model in a
+# parser chain (raw replacement / $! subtree graft) — rejected at
+# config time rather than silently diverging.
+_PMNORM_UNSUPPORTED = {"rawmsg", "$!"}
+
+
+def _pmnormalize_rules(inst: dict) -> list:
+    """Validate a pmnormalize instance's params and compile its
+    rulebase (pmnormalize.c:196-205: exactly one of rule=/rulebase=;
+    rule= is an array of rulebase lines; rulebase= names a file loaded
+    at activation, ln_loadSamples pmnormalize.c:124-137).
+    ``undefinedPropertyError`` only changes reference-side logging, so
+    it is accepted and ignored here."""
+    from rsyslog_spark.mods import parse_rulebase
+
+    rule = inst.get("rule")
+    rb_file = inst.get("rulebase")
+    if (rule is None) == (rb_file is None):
+        raise ValueError(
+            "pmnormalize: parser instances need either parameter "
+            "'rule' or 'rulebase', but not both (pmnormalize.c:196-205)"
+        )
+    if rule is not None:
+        lines = rule if isinstance(rule, list) else [rule]
+        text = "\n".join(lines) + "\n"
+    else:
+        try:
+            with open(rb_file) as fh:
+                text = fh.read()
+        except OSError as e:
+            raise ValueError(
+                f"pmnormalize: normalization rulebase {rb_file!r} "
+                f"could not be loaded, cannot activate action "
+                f"(ln_loadSamples, pmnormalize.c:131-136): {e}"
+            ) from e
+    rules = parse_rulebase(text)
+    for _rx, fields in rules:
+        for fname, _t in fields:
+            if fname in _PMNORM_UNSUPPORTED:
+                raise ValueError(
+                    f"pmnormalize: rule field {fname!r} would rewrite "
+                    "a property this engine does not model in a parser "
+                    "chain (msgSetPropViaJSON, msg.c:4612-4662)"
+                )
+    return rules
+
+
+def _pmnormalize_branch(out, rules: list, idx: int, name: str):
+    """Compile one pmnormalize instance -> (df_with_scratch, branch).
+
+    The raw is snapshotted AT THIS chain position (later rewriters must
+    not leak back), the rulebase runs over it once, and each well-known
+    result key maps to its message field. Numeric keys replicate
+    json_object_get_int on liblognorm's string values: the leading
+    digit run, 0 when non-numeric; pri clamps >191 to LOG_PRI_INVLD 199
+    (msgSetPRI, msg.c:1609-1615), facility/severity apply their 0..24 /
+    0..7 range gates (msg.c:4624-4635, out-of-range ignored). Fixed
+    precedence pri -> facility -> severity (json iteration is rule
+    field order; a rule putting pri AFTER an explicit severity would
+    diverge — no reference fixture pins that, so the common order is
+    modeled)."""
+    from rsyslog_spark.mods import rulebase_map_expr
+
+    raw_col = f"_cc{idx}_raw"
+    norm_col = f"_cc{idx}_norm"
+    out = out.withColumn(
+        raw_col, F.concat(F.col("_pri_prefix"), F.col("rawmsg_after_pri"))
+    )
+    out = out.withColumn(
+        norm_col,
+        rulebase_map_expr(F.coalesce(F.col(raw_col), F.lit("")), rules),
+    )
+    m = F.col(norm_col)
+
+    def got(key):
+        return F.element_at(m, key)
+
+    def num(key):
+        # json_object_get_int on a string value: strtol prefix, 0 when
+        # not numeric; only applied when the key is present at all
+        v = got(key)
+        return F.when(
+            v.isNotNull(),
+            F.coalesce(
+                F.regexp_extract(v, r"^\s*(\d+)", 1).cast("int"),
+                F.lit(0),
+            ),
+        )
+
+    p_in = num("pri")
+    p0 = F.coalesce(
+        F.when(p_in > 191, F.lit(199)).otherwise(p_in), F.col("pri")
+    )
+    fac_in = num("syslogfacility")
+    sev_in = num("syslogseverity")
+    fac = F.coalesce(
+        F.when((fac_in >= 0) & (fac_in <= 24), fac_in),
+        F.floor(p0 / 8).cast("int"),
+    )
+    sev = F.coalesce(
+        F.when((sev_in >= 0) & (sev_in <= 7), sev_in),
+        (p0 % 8).cast("int"),
+    )
+    branch = {
+        "ok": F.lit(True),
+        "parser": F.lit(name),
+        "tag": F.coalesce(got("syslogtag"), F.lit("")),
+        "pri": (fac * 8 + sev).cast("int"),
+        "msg": F.coalesce(got("msg"), F.col(raw_col), F.lit("")),
+        "ts": F.lit(None).cast("timestamp"),
+        "hostname": F.coalesce(got("hostname"), got("source")),
+        "procid": got("procid"),
+        "msgid": got("msgid"),
+        "sd": got("structured-data"),
+        "fromhost": got("fromhost"),
+        "fromhost_ip": got("fromhost-ip"),
+    }
+    return out, branch

@@ -489,3 +489,209 @@ class TestMMNormalizeConfig:
         )
         with pytest.raises(ValueError, match="foreach"):
             compile_config(src, conf, entry="n")
+
+
+class TestPmNormalizeChain:
+    """pmnormalize parser instances (plugins/pmnormalize/pmnormalize.c)
+    — byte-exact against the reference goldens
+    tests/pmnormalize-basic.sh / pmnormalize-rule.sh (same input lines,
+    same template, cmp output)."""
+
+    TPL = ("host: %hostname%, ip: %fromhost-ip%, tag: %syslogtag%, "
+           "pri: %pri%, syslogfacility: %syslogfacility%, "
+           "syslogseverity: %syslogseverity% msg: %msg%")
+
+    def _frame(self, spark, lines):
+        rows = [(ln, "2017-06-12 00:00:00") for ln in lines]
+        return spark.createDataFrame(
+            rows, "text string, ts_s string"
+        ).withColumn("ts", F.col("ts_s").cast("timestamp"))
+
+    def _render(self, spark, conf, lines):
+        from rsyslog_spark.config import apply_ruleset_parsers
+        from rsyslog_spark.templates import compile_template
+
+        parsed, cfg = apply_ruleset_parsers(
+            self._frame(spark, lines), conf, "ruleset"
+        )
+        return [
+            r["line"] for r in parsed.select(
+                compile_template(cfg.templates["test"]).alias("line")
+            ).collect()
+        ]
+
+    def test_basic_golden(self, spark, tmp_path):
+        # tests/pmnormalize-basic.sh + testsuites/pmnormalize_basic.rulebase
+        rb = tmp_path / "pmnormalize_basic.rulebase"
+        rb.write_text(
+            "rule=:<%pri:number%> %hostname:word% %syslogtag:char-to:"
+            "\\x3a%: is no longer listening on %fromhost-ip:ipv4% "
+            "%msg:rest%\n"
+        )
+        conf = f'''
+parser(name="custom.pmnormalize" type="pmnormalize" rulebase="{rb}")
+template(name="test" type="string" string="{self.TPL}")
+ruleset(name="ruleset" parser="custom.pmnormalize") {{
+    action(type="omfile" file="/log/out.log" template="test")
+}}
+'''
+        got = self._render(spark, conf, [
+            "<189> ubuntu tag1: is no longer listening on 127.0.0.1 test",
+            "<112> debian tag2: is no longer listening on "
+            "255.255.255.255 test",
+            "<177> centos tag3: is no longer listening on "
+            "192.168.0.9 test",
+        ])
+        assert got == [
+            "host: ubuntu, ip: 127.0.0.1, tag: tag1, pri: 189, "
+            "syslogfacility: 23, syslogseverity: 5 msg: test",
+            "host: debian, ip: 255.255.255.255, tag: tag2, pri: 112, "
+            "syslogfacility: 14, syslogseverity: 0 msg: test",
+            "host: centos, ip: 192.168.0.9, tag: tag3, pri: 177, "
+            "syslogfacility: 22, syslogseverity: 1 msg: test",
+        ]
+
+    def test_rule_array_golden(self, spark):
+        # tests/pmnormalize-rule.sh: two inline rules, either field
+        # order, rule= as an array parameter
+        conf = ('''
+parser(name="custom.pmnormalize" type="pmnormalize" rule=["rule=:<%pri:number%> %fromhost-ip:ipv4% %hostname:word% %syslogtag:char-to:\\\\x3a%: %msg:rest%", "rule=:<%pri:number%> %hostname:word% %fromhost-ip:ipv4% %syslogtag:char-to:\\\\x3a%: %msg:rest%"])
+template(name="test" type="string" string="''' + self.TPL + '''")
+ruleset(name="ruleset" parser="custom.pmnormalize") {
+    action(type="omfile" file="/log/out.log" template="test")
+}
+''')
+        got = self._render(spark, conf, [
+            "<189> 127.0.0.1 ubuntu tag1: this is a test message",
+            "<112> 255.255.255.255 debian tag2: this is a test message",
+            "<177> centos 192.168.0.9 tag3: this is a test message",
+        ])
+        assert got == [
+            "host: ubuntu, ip: 127.0.0.1, tag: tag1, pri: 189, "
+            "syslogfacility: 23, syslogseverity: 5 msg: this is a "
+            "test message",
+            "host: debian, ip: 255.255.255.255, tag: tag2, pri: 112, "
+            "syslogfacility: 14, syslogseverity: 0 msg: this is a "
+            "test message",
+            "host: centos, ip: 192.168.0.9, tag: tag3, pri: 177, "
+            "syslogfacility: 22, syslogseverity: 1 msg: this is a "
+            "test message",
+        ]
+
+    def test_unmatched_keeps_raw_and_pri(self, spark):
+        # ln_normalize's unparsed event carries only unknown property
+        # names -> nothing changes: MSG stays the full raw from offset
+        # 0 (MsgSetMSGoffs(pMsg,0)), PRI stays the header parse
+        conf = '''
+parser(name="n" type="pmnormalize" rule=["rule=:%h:word% UP"])
+ruleset(name="ruleset" parser="n") { stop }
+'''
+        from rsyslog_spark.config import apply_ruleset_parsers
+
+        parsed, _ = apply_ruleset_parsers(
+            self._frame(spark, ["<13>no rule matches this"]),
+            conf, "ruleset",
+        )
+        r = parsed.first()
+        assert r["accepted"] and r["parser"] == "n"
+        assert r["msg"] == "<13>no rule matches this"
+        assert (r["pri"], r["syslogfacility"], r["syslogseverity"]) == \
+            (13, 1, 5)
+        assert r["hostname"] is None and r["fromhost_ip"] is None
+
+    def test_unknown_fields_ignored(self, spark):
+        # msg.c:4663-4666: names outside the well-known set are ignored
+        conf = '''
+parser(name="n" type="pmnormalize"
+       rule=["rule=:%app-name:word% %syslogseverity:number% %msg:rest%"])
+ruleset(name="ruleset" parser="n") { stop }
+'''
+        from rsyslog_spark.config import apply_ruleset_parsers
+
+        parsed, _ = apply_ruleset_parsers(
+            self._frame(spark, ["<13>myapp 2 hello world"]),
+            conf, "ruleset",
+        )
+        r = parsed.first()
+        # app-name ignored; severity 2 applied over facility from <13>
+        assert r["app_name"] is None
+        assert (r["syslogfacility"], r["syslogseverity"]) == (1, 2)
+        assert r["msg"] == "hello world"
+
+    def test_severity_range_gate(self, spark):
+        # msg.c:4630-4635: out-of-range severity is ignored
+        conf = '''
+parser(name="n" type="pmnormalize"
+       rule=["rule=:<13>sev %syslogseverity:number% %msg:rest%"])
+ruleset(name="ruleset" parser="n") { stop }
+'''
+        from rsyslog_spark.config import apply_ruleset_parsers
+
+        parsed, _ = apply_ruleset_parsers(
+            self._frame(spark, ["<13>sev 9 over range"]), conf, "ruleset"
+        )
+        r = parsed.first()
+        assert (r["syslogfacility"], r["syslogseverity"]) == (1, 5)
+
+    def test_pri_clamp_invld(self, spark):
+        # msgSetPRI (msg.c:1609-1615): pri > 191 -> LOG_PRI_INVLD 199
+        conf = '''
+parser(name="n" type="pmnormalize"
+       rule=["rule=:<13>p %pri:number% %msg:rest%"])
+ruleset(name="ruleset" parser="n") { stop }
+'''
+        from rsyslog_spark.config import apply_ruleset_parsers
+
+        parsed, _ = apply_ruleset_parsers(
+            self._frame(spark, ["<13>p 500 clamped"]), conf, "ruleset"
+        )
+        r = parsed.first()
+        assert (r["pri"], r["syslogfacility"], r["syslogseverity"]) == \
+            (199, 24, 7)
+
+    def test_param_validation(self, spark):
+        from rsyslog_spark.config import apply_ruleset_parsers
+
+        df = self._frame(spark, ["<13>x"])
+        # pmnormalize-neither_rule_rulebase.sh
+        with pytest.raises(ValueError, match="either parameter"):
+            apply_ruleset_parsers(
+                df,
+                'parser(name="n" type="pmnormalize")\n'
+                'ruleset(name="r" parser="n") { stop }',
+                "r",
+            )
+        # pmnormalize-rule_and_rulebase.sh
+        with pytest.raises(ValueError, match="not both"):
+            apply_ruleset_parsers(
+                df,
+                'parser(name="n" type="pmnormalize" rulebase="/x.rb" '
+                'rule=["rule=:%a:word%"])\n'
+                'ruleset(name="r" parser="n") { stop }',
+                "r",
+            )
+        # pmnormalize-invld-rulebase.sh
+        with pytest.raises(ValueError, match="could not be loaded"):
+            apply_ruleset_parsers(
+                df,
+                'parser(name="n" type="pmnormalize" '
+                'rulebase="/nonexistent/x.rb")\n'
+                'ruleset(name="r" parser="n") { stop }',
+                "r",
+            )
+        # bare default instance: resolves, then rulebase-mandatory
+        with pytest.raises(ValueError, match="either parameter"):
+            apply_ruleset_parsers(
+                df,
+                'ruleset(name="r" parser="rsyslog.pmnormalize") { stop }',
+                "r",
+            )
+        # rawmsg replacement not modeled — loud
+        with pytest.raises(ValueError, match="rawmsg"):
+            apply_ruleset_parsers(
+                df,
+                'parser(name="n" type="pmnormalize" '
+                'rule=["rule=:%rawmsg:rest%"])\n'
+                'ruleset(name="r" parser="n") { stop }',
+                "r",
+            )
