@@ -3,16 +3,19 @@
 Design for 100 TB media tables: media travel as ``binary`` columns with
 a metadata struct alongside; decode / feature-extract / resize /
 frame-sample are Arrow-batched transforms over ``mapInPandas`` so bytes
-cross the JVM<->Python boundary once per batch. The image/audio codecs
-are NOT in this environment, so the decode kernels are STUBS — clearly
+cross the JVM<->Python boundary once per batch. The image/video codecs
+are NOT in this environment, so those decode kernels are STUBS — clearly
 marked, raising NotImplementedError unless ``fake=True``, in which case
 a deterministic md5-seeded fake replaces the codec. Everything AROUND
 the kernel (schema, batching, partitioning, signatures) is real and
 tested — swap the kernel body for PIL/ffmpeg on a real cluster.
 
 Codec probe history (PIL/cv2/av/soundfile/librosa/imageio/skimage/
-torchvision + ffmpeg binary): absent in rounds 2, 3 and 4 — the stubs
-stay honest rather than faking a decode.
+torchvision + ffmpeg binary): absent in rounds 2, 3 and 4 — the image/
+video stubs stay honest rather than faking a decode. The round-4
+re-probe DID find stdlib ``wave`` + ``audioop``, so the AUDIO kernel
+(``decode_audio`` / ``audio_features``) is REAL for PCM WAV
+containers; compressed codecs (mp3/ogg/aac) still raise.
 """
 
 from __future__ import annotations
@@ -113,5 +116,100 @@ def extract_features(
                     "features": feats,
                 }
             )
+
+    return df.select(id_col, payload_col).mapInPandas(_run, out_schema)
+
+
+def decode_audio(data: bytes) -> dict:
+    """REAL audio decode for PCM WAV containers (stdlib ``wave``,
+    present in this environment — round-4 probe). Returns header
+    metadata {channels, sample_rate, sample_width, n_frames,
+    duration_s}. Non-WAV bytes raise ValueError (honest failure);
+    compressed codecs raise NotImplementedError like the image stubs.
+    """
+    import io
+    import wave
+
+    b = bytes(data)
+    if (
+        b[:3] == b"ID3"                                   # mp3 w/ tag
+        or b[:2] in (b"\xff\xfb", b"\xff\xf3", b"\xff\xf2")  # mp3 frame
+        or b[:4] == b"OggS"                               # ogg
+        or b[4:8] == b"ftyp"                              # mp4/m4a
+    ):
+        raise NotImplementedError(
+            "compressed audio (mp3/ogg/aac) needs ffmpeg/libav — not "
+            "available in this environment"
+        )
+    try:
+        with wave.open(io.BytesIO(b)) as w:
+            nf = w.getnframes()
+            sr = w.getframerate()
+            return {
+                "channels": w.getnchannels(),
+                "sample_rate": sr,
+                "sample_width": w.getsampwidth(),
+                "n_frames": nf,
+                "duration_s": nf / sr if sr else 0.0,
+            }
+    except (wave.Error, EOFError) as e:
+        raise ValueError(f"not a PCM WAV payload: {e}") from e
+
+
+def audio_features(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Arrow-batched WAV feature extraction over one mapInPandas pass:
+    (id, channels, sample_rate, duration_s, rms, peak, ok). REAL
+    kernel (wave + audioop) — undecodable payloads yield ok=false
+    with null features instead of failing the batch, the per-row
+    error containment a 100 TB media scan needs (one corrupt object
+    must not kill a 512 MB task)."""
+    import audioop
+    import io
+    import wave
+
+    import pandas as pd
+
+    out_schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("channels", T.IntegerType()),
+            T.StructField("sample_rate", T.IntegerType()),
+            T.StructField("duration_s", T.DoubleType()),
+            T.StructField("rms", T.IntegerType()),
+            T.StructField("peak", T.IntegerType()),
+            T.StructField("ok", T.BooleanType()),
+        ]
+    )
+
+    def _one(data):
+        try:
+            with wave.open(io.BytesIO(bytes(data))) as w:
+                nf, sr = w.getnframes(), w.getframerate()
+                width = w.getsampwidth()
+                frames = w.readframes(nf)
+                return (
+                    w.getnchannels(), sr,
+                    nf / sr if sr else 0.0,
+                    audioop.rms(frames, width) if frames else 0,
+                    audioop.max(frames, width) if frames else 0,
+                    True,
+                )
+        except (wave.Error, EOFError, ValueError):
+            return (None, None, None, None, None, False)
+
+    def _run(batches):
+        for pdf in batches:
+            feats = [_one(b) for b in pdf[payload_col]]
+            out = pd.DataFrame(
+                feats,
+                columns=["channels", "sample_rate", "duration_s",
+                         "rms", "peak", "ok"],
+            )
+            out.insert(0, "id", pdf[id_col].values)
+            yield out
 
     return df.select(id_col, payload_col).mapInPandas(_run, out_schema)

@@ -473,3 +473,63 @@ class TestVocab:
         assert [(r["rank"], r["token"], r["tf"]) for r in top] == [
             (1, "a", 3), (2, "b", 1)  # tie b/c broken by token asc
         ]
+
+
+class TestAudioKernel:
+    """decode_audio/audio_features: REAL PCM-WAV kernel (stdlib wave +
+    audioop, found by the round-4 codec probe). WAVs synthesized
+    deterministically in-test — no external data."""
+
+    @staticmethod
+    def _wav(freq=440, sr=8000, secs=0.25, channels=1, amp=12000):
+        import io
+        import math
+        import struct
+        import wave
+
+        n = int(sr * secs)
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(channels)
+            w.setsampwidth(2)
+            w.setframerate(sr)
+            frames = bytearray()
+            for i in range(n):
+                s = int(amp * math.sin(2 * math.pi * freq * i / sr))
+                frames += struct.pack("<h", s) * channels
+            w.writeframes(bytes(frames))
+        return buf.getvalue()
+
+    def test_decode_header(self):
+        meta = multimodal.decode_audio(self._wav(sr=16000, secs=0.5,
+                                                 channels=2))
+        assert meta == {
+            "channels": 2, "sample_rate": 16000, "sample_width": 2,
+            "n_frames": 8000, "duration_s": 0.5,
+        }
+
+    def test_decode_rejections(self):
+        with pytest.raises(ValueError, match="not a PCM WAV"):
+            multimodal.decode_audio(b"definitely not audio")
+        with pytest.raises(NotImplementedError, match="compressed"):
+            multimodal.decode_audio(b"ID3\x04" + b"\x00" * 64)
+        with pytest.raises(NotImplementedError, match="compressed"):
+            multimodal.decode_audio(b"\x00\x00\x00 ftypM4A " + b"\x00" * 8)
+
+    def test_features_distributed(self, spark):
+        rows = [
+            (0, self._wav(amp=12000)),          # loud tone
+            (1, self._wav(amp=300)),            # quiet tone
+            (2, self._wav(amp=0)),              # silence
+            (3, b"corrupt payload"),            # per-row containment
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, payload binary")
+        by = {r["id"]: r for r in multimodal.audio_features(df).collect()}
+        assert len(by) == 4
+        assert by[3]["ok"] is False and by[3]["rms"] is None
+        assert by[0]["ok"] and by[0]["sample_rate"] == 8000
+        assert by[0]["duration_s"] == 0.25
+        # energy ordering: silence < quiet < loud; peak tracks amp
+        assert by[2]["rms"] == 0
+        assert 0 < by[1]["rms"] < by[0]["rms"]
+        assert 11000 < by[0]["peak"] <= 12000
