@@ -535,8 +535,16 @@ class _Parser:
         if variable is not None and use_raw:
             # 'variable' can't be used with 'useRawMsg' — raw wins
             variable = None
+        # module(load="mmnormalize" allowRegex="on") gates the regex
+        # field_type (setModCnf allow_regex -> ln_setCtxOpts,
+        # mmnormalize.c:108-110,320-345)
+        allow_regex = any(
+            "mmnormalize" in str(m.get("load", ""))
+            and str(m.get("allowregex", "off")).lower() in ("on", "1")
+            for m in self.cfg.modules
+        )
         return Normalize(
-            rules=parse_rulebase(text),
+            rules=parse_rulebase(text, allow_regex=allow_regex),
             prefix=prefix,
             use_rawmsg=use_raw,
             variable=variable,

@@ -167,10 +167,44 @@ _LN_TYPES = {
     "quoted-string": r"\"[^\"]*\"",
     "ipv4": r"\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}",
     "date-rfc3164": r"[A-Z][a-z]{2} (?: \d|\d\d) \d{2}:\d{2}:\d{2}",
+    "date-rfc5424": (
+        r"\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}(?:\.\d+)?"
+        r"(?:Z|[+-]\d{2}:\d{2})"
+    ),
 }
 
 
-def _ln_compile_pattern(pat: str) -> tuple[str, list[tuple[str, str]]]:
+def _decode_hex_escapes(s: str) -> str:
+    """liblognorm ``\\x3a``-style escapes -> chars (the only way to
+    put ':' and other spec-delimiters in a field's extra data)."""
+    import re as _re
+
+    return _re.sub(
+        r"\\x([0-9a-fA-F]{2})", lambda m: chr(int(m.group(1), 16)), s
+    )
+
+
+def _noncapturing(regex: str) -> str:
+    """Rewrite every capturing ``(`` to ``(?:`` so a regex-type field's
+    inner groups don't shift the rule's field->group numbering."""
+    out, i = [], 0
+    while i < len(regex):
+        c = regex[i]
+        if c == "\\" and i + 1 < len(regex):
+            out.append(regex[i:i + 2])
+            i += 2
+            continue
+        if c == "(" and not regex.startswith("(?", i):
+            out.append("(?:")
+        else:
+            out.append(c)
+        i += 1
+    return "".join(out)
+
+
+def _ln_compile_pattern(
+    pat: str, allow_regex: bool = False
+) -> tuple[str, list[tuple[str, str]]]:
     """One v1 rule pattern -> (anchored java regex, [(name, type)])."""
     import re as _re
 
@@ -184,7 +218,7 @@ def _ln_compile_pattern(pat: str) -> tuple[str, list[tuple[str, str]]]:
                 i += 2
                 continue
             j = pat.index("%", i + 1)
-            spec = pat[i + 1:j].split(":")
+            spec = pat[i + 1:j].split(":", 2)
             name, ftype = spec[0], spec[1] if len(spec) > 1 else "word"
             if ftype == "char-to":
                 stop = spec[2] if len(spec) >= 3 else ""
@@ -198,12 +232,32 @@ def _ln_compile_pattern(pat: str) -> tuple[str, list[tuple[str, str]]]:
                         f"liblognorm char-to needs one stop char: {pat!r}"
                     )
                 frag = "[^" + _re.escape(stop) + "]+"
+            elif ftype == "regex":
+                # liblognorm regex field_type (ERE, compiled with the
+                # liblognorm-bundled engine) — gated exactly like the
+                # reference: mmnormalize module(allowRegex="on") ->
+                # ln_setCtxOpts(ctx, allow_regex), else rule load fails
+                # (tests/mmnormalize_regex_disabled.sh). ERE is a
+                # subset of the Java dialect Spark compiles, so the
+                # decoded pattern embeds directly; its inner groups are
+                # rewritten non-capturing to keep field numbering.
+                if not allow_regex:
+                    raise ValueError(
+                        "liblognorm regex field_type requires "
+                        'module(load="mmnormalize" allowRegex="on") '
+                        "(ln_setCtxOpts; mmnormalize.c allow_regex)"
+                    )
+                if len(spec) < 3 or not spec[2]:
+                    raise ValueError(
+                        f"liblognorm regex field needs a pattern: {pat!r}"
+                    )
+                frag = _noncapturing(_decode_hex_escapes(spec[2]))
             elif ftype in _LN_TYPES:
                 frag = _LN_TYPES[ftype]
             else:
                 raise ValueError(
                     f"unsupported liblognorm field type {ftype!r} "
-                    f"(supported: {sorted(_LN_TYPES)} + char-to)"
+                    f"(supported: {sorted(_LN_TYPES)} + char-to + regex)"
                 )
             if name == "-":
                 out.append("(?:" + frag + ")")
@@ -218,25 +272,60 @@ def _ln_compile_pattern(pat: str) -> tuple[str, list[tuple[str, str]]]:
     return "".join(out), fields
 
 
-def parse_rulebase(text: str) -> list:
-    """liblognorm v1 rulebase text -> [(regex, [(name, type)])] in file
-    order (liblognorm picks the first matching rule). Only ``rule=``
-    lines and comments are supported; ``prefix=``/``annotate=`` etc.
-    are rejected loudly."""
-    rules = []
+def parse_rulebase(text: str, allow_regex: bool = False) -> list:
+    """liblognorm v1 rulebase text -> [(regex, [(name, type)], consts)]
+    in file order (liblognorm picks the first matching rule).
+
+    Supported lines: ``rule=[tag,...]:pattern``, ``annotate=TAG:+name=
+    "value"`` (annotation fields are added to every event a TAG-tagged
+    rule matched — the reference's mmnormalize_processing rulebases use
+    them for constant enrichment) and comments; ``prefix=`` etc. are
+    rejected loudly. ``consts`` is the [(name, value)] annotation list
+    resolved per rule from its tags."""
+    import re as _re
+
+    raw_rules = []           # (regex, fields, tags)
+    annots: dict[str, list] = {}
     for line in text.splitlines():
         line = line.strip()
         if not line or line.startswith("#"):
             continue
-        if not line.startswith("rule="):
-            raise ValueError(
-                f"unsupported rulebase line (only rule= handled): {line!r}"
+        if line.startswith("rule="):
+            body = line[len("rule="):]
+            # rule=[tag1,tag2]:pattern — tags end at the first ':'
+            colon = body.index(":")
+            tags = [t for t in body[:colon].split(",") if t]
+            pattern = body[colon + 1:]
+            raw_rules.append(
+                _ln_compile_pattern(pattern, allow_regex) + (tags,)
             )
-        body = line[len("rule="):]
-        # rule=[tag1,tag2]:pattern — tags end at the first ':'
-        colon = body.index(":")
-        pattern = body[colon + 1:]
-        rules.append(_ln_compile_pattern(pattern))
+        elif line.startswith("annotate="):
+            m = _re.fullmatch(
+                r'annotate=([^:]+):\+([^=]+)="((?:[^"\\]|\\.)*)"', line
+            )
+            if m is None:
+                raise ValueError(
+                    f"unsupported annotate line (expected annotate="
+                    f'TAG:+name="value"): {line!r}'
+                )
+            annots.setdefault(m.group(1), []).append(
+                (m.group(2), m.group(3))
+            )
+        else:
+            raise ValueError(
+                f"unsupported rulebase line (only rule=/annotate= "
+                f"handled): {line!r}"
+            )
+    rules = []
+    for regex, fields, tags in raw_rules:
+        fnames = {nm for nm, _t in fields}
+        consts = [
+            (nm, val)
+            for t in tags
+            for nm, val in annots.get(t, [])
+            if nm not in fnames
+        ]
+        rules.append((regex, fields, consts))
     return rules
 
 
@@ -245,6 +334,7 @@ def mm_normalize_rulebase(
     rulebase: str,
     msg_col: str = "msg",
     out: str = "norm",
+    allow_regex: bool = False,
 ) -> DataFrame:
     """mmnormalize with an actual liblognorm v1 rulebase (subset).
 
@@ -256,7 +346,8 @@ def mm_normalize_rulebase(
     documented behavior, surfaced by mmnormalize into $!)."""
     msg = F.coalesce(F.col(msg_col), F.lit(""))
     return df.withColumn(
-        out, rulebase_map_expr(msg, parse_rulebase(rulebase))
+        out,
+        rulebase_map_expr(msg, parse_rulebase(rulebase, allow_regex)),
     )
 
 
@@ -271,7 +362,10 @@ def rulebase_map_expr(msg, rules: list, key_prefix: str = ""):
         F.array(msg, msg),
     )
     result = unmatched
-    for regex, fields in reversed(rules):
+    for rule in reversed(rules):
+        regex, fields, consts = (
+            rule if len(rule) == 3 else (rule[0], rule[1], [])
+        )
         vals = []
         for k, (_name, ftype) in enumerate(fields):
             v = F.regexp_extract(msg, regex, k + 1)
@@ -279,7 +373,11 @@ def rulebase_map_expr(msg, rules: list, key_prefix: str = ""):
                 # liblognorm strips the enclosing quotes from the value
                 v = F.regexp_replace(v, '^"|"$', "")
             vals.append(v)
+        # annotate= constants ride the same matched map (liblognorm
+        # annotation: tag-matched events gain the fixed fields)
+        vals.extend(F.lit(cv) for _cn, cv in consts)
         names = [key_prefix + nm for nm, _t in fields]
+        names.extend(key_prefix + cn for cn, _cv in consts)
         empty = F.array().cast("array<string>")
         matched_map = F.map_from_arrays(
             F.array(*[F.lit(nm) for nm in names]) if names else empty,

@@ -292,8 +292,8 @@ def _pmnormalize_rules(inst: dict) -> list:
                 f"(ln_loadSamples, pmnormalize.c:131-136): {e}"
             ) from e
     rules = parse_rulebase(text)
-    for _rx, fields in rules:
-        for fname, _t in fields:
+    for _rx, fields, consts in rules:
+        for fname in [nm for nm, _t in fields] + [nm for nm, _v in consts]:
             if fname in _PMNORM_UNSUPPORTED:
                 raise ValueError(
                     f"pmnormalize: rule field {fname!r} would rewrite "

@@ -695,3 +695,124 @@ ruleset(name="ruleset" parser="n") { stop }
                 'ruleset(name="r" parser="n") { stop }',
                 "r",
             )
+
+
+class TestRulebaseRegexAndAnnotate:
+    """liblognorm regex field_type (allowRegex gate) + annotate=
+    constants — parity with tests/mmnormalize_regex.sh and the
+    mmnormalize_processing_tests.rulebase WIN rule."""
+
+    @pytest.fixture(scope="class")
+    def df(self, spark):
+        # msg as the default rfc3164 parse would leave it for the
+        # mmnormalize_regex.sh input line
+        rows = [(1, "http host ports are 192.168.1.2:80, 192.168.1.3, "
+                    "192.168.1.4:443, 192.168.1.5 etc")]
+        return spark.createDataFrame(rows, "i long, msg string")
+
+    RB_REGEX = ('rule=:http host ports are '
+                '%hps:regex:([0-9.\\\\x3a]+(, )?)+% etc')
+
+    def test_regex_golden(self, df):
+        # content_check 'host and port list: 192.168.1.2:80, ...'
+        conf = f'''
+        module(load="mmnormalize" allowRegex="on")
+        template(name="hosts_and_ports" type="string"
+                 string="host and port list: %$!hps%")
+        ruleset(name="r") {{
+            action(type="mmnormalize" rule=["{self.RB_REGEX}"])
+            action(type="omfile" file="/x/out.log"
+                   template="hosts_and_ports")
+        }}
+        '''
+        ann, actions = compile_config(df, conf, entry="r")
+        a = actions[0]
+        line = a.output(ann).select(F.col(a.out_col).alias("x")).first()
+        assert line["x"] == (
+            "host and port list: 192.168.1.2:80, 192.168.1.3, "
+            "192.168.1.4:443, 192.168.1.5"
+        )
+
+    def test_regex_disabled_rejected(self, df):
+        # tests/mmnormalize_regex_disabled.sh: without allowRegex="on"
+        # the rule with a regex field fails to load
+        conf = f'''
+        ruleset(name="r") {{
+            action(type="mmnormalize" rule=["{self.RB_REGEX}"])
+        }}
+        '''
+        with pytest.raises(ValueError, match="allowRegex"):
+            parse_config(conf)
+
+    def test_inner_groups_dont_shift_fields(self, spark):
+        # a regex field with nested groups followed by a plain field:
+        # the later field must still land (group renumbering guard)
+        from rsyslog_spark.mods import parse_rulebase, rulebase_map_expr
+
+        rules = parse_rulebase(
+            "rule=:%a:regex:(x+(y)?)+% %b:word%", allow_regex=True
+        )
+        df = spark.createDataFrame([("xxy end",)], "msg string")
+        got = dict(
+            df.select(
+                rulebase_map_expr(F.col("msg"), rules).alias("m")
+            ).first()["m"]
+        )
+        assert got == {"a": "xxy", "b": "end"}
+
+    def test_annotate_win_rule(self, spark):
+        # mmnormalize_processing_tests.rulebase WIN rule + annotation
+        # over the processing_test1 input line (rawmsg source)
+        from rsyslog_spark.mods import parse_rulebase, rulebase_map_expr
+
+        rb = (
+            "rule=WIN:<%n1:number%>1 %-:date-rfc5424% %n2:word% "
+            "%v_tag:word% - - - %v_svc:word% %v_ret:word% %v_os:word% "
+            "%v_msg:rest%\n"
+            'annotate=WIN:+v_analytics_prefix="EvntSLog: "\n'
+        )
+        raw = ("<37>1 2017-03-08T12:53:47+02:00 Host1.domain.com "
+               "Security - - - SER1 M01 WIN [AUF] Wed Mar 08 11:53:48 "
+               "2017: N\\A/Security/Host1.domain.com/"
+               "Microsoft-Windows-Security-Auditing (5152) - message")
+        df = spark.createDataFrame([(raw,)], "msg string")
+        got = dict(
+            df.select(
+                rulebase_map_expr(
+                    F.col("msg"), parse_rulebase(rb)
+                ).alias("m")
+            ).first()["m"]
+        )
+        assert got["n1"] == "37"
+        assert got["n2"] == "Host1.domain.com"
+        assert got["v_tag"] == "Security"
+        assert (got["v_svc"], got["v_ret"], got["v_os"]) == \
+            ("SER1", "M01", "WIN")
+        assert got["v_msg"].startswith("[AUF] Wed Mar 08")
+        # the annotation constant rides the matched event
+        assert got["v_analytics_prefix"] == "EvntSLog: "
+
+    def test_annotate_only_on_tagged_rule(self, spark):
+        from rsyslog_spark.mods import parse_rulebase, rulebase_map_expr
+
+        rb = ("rule=A:%x:word% one\n"
+              "rule=B:%x:word% two\n"
+              'annotate=A:+extra="E"\n')
+        df = spark.createDataFrame(
+            [("foo one",), ("bar two",)], "msg string"
+        )
+        rows = df.select(
+            "msg",
+            rulebase_map_expr(F.col("msg"), parse_rulebase(rb)).alias("m"),
+        ).collect()
+        by = {r["msg"]: dict(r["m"]) for r in rows}
+        assert by["foo one"] == {"x": "foo", "extra": "E"}
+        assert by["bar two"] == {"x": "bar"}     # B has no annotation
+
+    def test_bad_annotate_rejected(self):
+        from rsyslog_spark.mods import parse_rulebase
+
+        with pytest.raises(ValueError, match="annotate"):
+            parse_rulebase("annotate=A:bad-syntax")
+        with pytest.raises(ValueError, match="only rule="):
+            parse_rulebase("prefix=%d:date-rfc3164%")
