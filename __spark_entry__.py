@@ -398,6 +398,21 @@ def q_mm_rewrite(spark, sf_dir):
             ("first_word", "^ ?([a-z]+)", 1),
         ],
     )
+    # r4 facet: the liblognorm v1 rulebase engine (first-match cascade
+    # + annotate= constant), bound to the ORIGINAL msg before the
+    # rewrite mutates the frame — rule NUM matches the leading-space
+    # msgnum shape, the untagged catch-all takes the rest
+    rb = (
+        "rule=NUM: msgnum:%num:number% %w1:word% %rest:rest%\n"
+        'annotate=NUM:+src="rb"\n'
+        "rule=:%any:rest%"
+    )
+    norm = norm.withColumn(
+        "rbmap",
+        mods.rulebase_map_expr(
+            F.coalesce(F.col("msg"), F.lit("")), mods.parse_rulebase(rb)
+        ),
+    )
     anon_in = norm.withColumn(
         "msg",
         F.concat(
@@ -412,6 +427,9 @@ def q_mm_rewrite(spark, sf_dir):
         F.col("msg").alias("anon_msg"),
         F.element_at("norm", "msgnum").alias("msgnum"),
         F.element_at("norm", "first_word").alias("first_word"),
+        F.element_at("rbmap", "num").alias("rb_num"),
+        F.element_at("rbmap", "w1").alias("rb_w1"),
+        F.element_at("rbmap", "src").alias("rb_src"),
     )
 
 
@@ -1592,13 +1610,23 @@ def oracle_sql() -> dict[str, str]:
         f"CAST({_k2} // 256 % 256 AS VARCHAR) || '.' || "
         f"CAST({_k2} % 256 AS VARCHAR)"
     )
+    # rulebase facet: rule NUM's anchored regex, first-match CASE; the
+    # catch-all rule=:%any:rest% always matches, so rb_* are NULL
+    # (absent keys) exactly when NUM does not match
+    _rb_rx = r"'^ msgnum:(\d+) ([^ ]+) ([\s\S]*)$'"
     o["mm_rewrite"] = with_parsed_oracle(
         "SELECT i, regexp_replace("
         f"'src=' || {_quad2} || ' dst=10.1.2.3 ' || msg, "
         r"'\b(\d{1,3})\.(\d{1,3})\.(\d{1,3})\.(\d{1,3})\b', "
         r"'\1.\2.0.0', 'g') AS anon_msg, "
         "regexp_extract(msg, 'msgnum:([0-9]+)', 1) AS msgnum, "
-        "regexp_extract(msg, '^ ?([a-z]+)', 1) AS first_word "
+        "regexp_extract(msg, '^ ?([a-z]+)', 1) AS first_word, "
+        f"CASE WHEN regexp_matches(msg, {_rb_rx}) "
+        f"THEN regexp_extract(msg, {_rb_rx}, 1) END AS rb_num, "
+        f"CASE WHEN regexp_matches(msg, {_rb_rx}) "
+        f"THEN regexp_extract(msg, {_rb_rx}, 2) END AS rb_w1, "
+        f"CASE WHEN regexp_matches(msg, {_rb_rx}) "
+        "THEN 'rb' END AS rb_src "
         "FROM p WHERE parse_success"
     )
     # --- dataops oracles ---------------------------------------------------
