@@ -202,6 +202,100 @@ def _noncapturing(regex: str) -> str:
     return "".join(out)
 
 
+def _decode_stop_char(stop: str, pat: str, tname: str) -> str:
+    """One-char stop for char-to/char-sep, \\x3a-escape decoded — the
+    only way to express ':' since ':' separates the spec (reference
+    rulebases use char-to:\\x3a)."""
+    import re as _re
+
+    if _re.fullmatch(r"\\x[0-9a-fA-F]{2}", stop):
+        stop = chr(int(stop[2:], 16))
+    if len(stop) != 1:
+        raise ValueError(
+            f"liblognorm {tname} needs one stop char: {pat!r}"
+        )
+    return stop
+
+
+def _parse_ln_type(tspec: str, pat: str, allow_regex: bool):
+    """Recursive field-type spec parser.
+
+    Returns either a plain type name (str) or a structured tuple:
+    ('char-to'|'char-sep', stop), ('regex', pattern),
+    ('tokenized', sep, inner_type). ``tokenized``'s extra data is
+    SEP ':' INNER-SPEC — the separator runs to the first RAW colon
+    (escaped colons spelled \\x3a), the remainder parses recursively
+    (liblognorm v1: arbitrarily nested tokenized, exercised by
+    tests/mmnormalize_tokenized.sh's 3-level rule)."""
+    t, _, extra = tspec.partition(":")
+    if t in ("char-to", "char-sep"):
+        return (t, _decode_stop_char(extra, pat, t))
+    if t == "regex":
+        # liblognorm regex field_type (ERE, compiled with the
+        # liblognorm-bundled engine) — gated exactly like the
+        # reference: mmnormalize module(allowRegex="on") ->
+        # ln_setCtxOpts(ctx, allow_regex), else rule load fails
+        # (tests/mmnormalize_regex_disabled.sh). ERE is a subset of
+        # the Java dialect Spark compiles, so the decoded pattern
+        # embeds directly; its inner groups are rewritten
+        # non-capturing to keep field numbering.
+        if not allow_regex:
+            raise ValueError(
+                "liblognorm regex field_type requires "
+                'module(load="mmnormalize" allowRegex="on") '
+                "(ln_setCtxOpts; mmnormalize.c allow_regex)"
+            )
+        if not extra:
+            raise ValueError(
+                f"liblognorm regex field needs a pattern: {pat!r}"
+            )
+        return ("regex", _decode_hex_escapes(extra))
+    if t == "tokenized":
+        sep_raw, colon, inner = extra.partition(":")
+        if not colon or not sep_raw:
+            raise ValueError(
+                f"liblognorm tokenized needs SEP:TYPE extra data: "
+                f"{pat!r}"
+            )
+        return (
+            "tokenized",
+            _decode_hex_escapes(sep_raw),
+            _parse_ln_type(inner, pat, allow_regex),
+        )
+    if t in _LN_TYPES:
+        if extra:
+            raise ValueError(
+                f"liblognorm type {t!r} takes no extra data: {pat!r}"
+            )
+        return t
+    raise ValueError(
+        f"unsupported liblognorm field type {t!r} (supported: "
+        f"{sorted(_LN_TYPES)} + char-to/char-sep/regex/tokenized)"
+    )
+
+
+def _ln_type_frag(ftype) -> str:
+    """Field type -> regex fragment (all inner groups non-capturing)."""
+    import re as _re
+
+    if isinstance(ftype, tuple):
+        kind = ftype[0]
+        if kind == "char-to":
+            return "[^" + _re.escape(ftype[1]) + "]+"
+        if kind == "char-sep":
+            # like char-to but the field may also end the line -> empty
+            # match allowed (liblognorm char-sep semantics)
+            return "[^" + _re.escape(ftype[1]) + "]*"
+        if kind == "regex":
+            return _noncapturing(ftype[1])
+        if kind == "tokenized":
+            inner = _ln_type_frag(ftype[2])
+            sep = _re.escape(ftype[1])
+            return f"(?:{inner})(?:{sep}(?:{inner}))*"
+        raise AssertionError(kind)
+    return _LN_TYPES[ftype]
+
+
 def _ln_compile_pattern(
     pat: str, allow_regex: bool = False
 ) -> tuple[str, list[tuple[str, str]]]:
@@ -218,47 +312,9 @@ def _ln_compile_pattern(
                 i += 2
                 continue
             j = pat.index("%", i + 1)
-            spec = pat[i + 1:j].split(":", 2)
-            name, ftype = spec[0], spec[1] if len(spec) > 1 else "word"
-            if ftype == "char-to":
-                stop = spec[2] if len(spec) >= 3 else ""
-                if _re.fullmatch(r"\\x[0-9a-fA-F]{2}", stop):
-                    # \x3a-style escape — the only way to express ':'
-                    # as a stop char, since ':' separates the spec
-                    # (reference rulebases use char-to:\x3a)
-                    stop = chr(int(stop[2:], 16))
-                if len(stop) != 1:
-                    raise ValueError(
-                        f"liblognorm char-to needs one stop char: {pat!r}"
-                    )
-                frag = "[^" + _re.escape(stop) + "]+"
-            elif ftype == "regex":
-                # liblognorm regex field_type (ERE, compiled with the
-                # liblognorm-bundled engine) — gated exactly like the
-                # reference: mmnormalize module(allowRegex="on") ->
-                # ln_setCtxOpts(ctx, allow_regex), else rule load fails
-                # (tests/mmnormalize_regex_disabled.sh). ERE is a
-                # subset of the Java dialect Spark compiles, so the
-                # decoded pattern embeds directly; its inner groups are
-                # rewritten non-capturing to keep field numbering.
-                if not allow_regex:
-                    raise ValueError(
-                        "liblognorm regex field_type requires "
-                        'module(load="mmnormalize" allowRegex="on") '
-                        "(ln_setCtxOpts; mmnormalize.c allow_regex)"
-                    )
-                if len(spec) < 3 or not spec[2]:
-                    raise ValueError(
-                        f"liblognorm regex field needs a pattern: {pat!r}"
-                    )
-                frag = _noncapturing(_decode_hex_escapes(spec[2]))
-            elif ftype in _LN_TYPES:
-                frag = _LN_TYPES[ftype]
-            else:
-                raise ValueError(
-                    f"unsupported liblognorm field type {ftype!r} "
-                    f"(supported: {sorted(_LN_TYPES)} + char-to + regex)"
-                )
+            name, _, tspec = pat[i + 1:j].partition(":")
+            ftype = _parse_ln_type(tspec or "word", pat, allow_regex)
+            frag = _ln_type_frag(ftype)
             if name == "-":
                 out.append("(?:" + frag + ")")
             else:
@@ -351,6 +407,48 @@ def mm_normalize_rulebase(
     )
 
 
+def _json_escape_col(c):
+    """fjson string-escape subset (backslash, quote, forward slash —
+    fjson emits '\\/' for '/', visible in the reference's tokenized
+    golden '[ "\\/bin", ... ]')."""
+    c = F.replace(c, F.lit("\\"), F.lit("\\\\"))
+    c = F.replace(c, F.lit('"'), F.lit('\\"'))
+    return F.replace(c, F.lit("/"), F.lit("\\/"))
+
+
+def _tokenized_json(v, ftype):
+    """Render a tokenized field's matched span as the JSON array string
+    liblognorm puts in the event ('[ "a", "b" ]', nested arrays for
+    nested tokenized) — splits on the literal separator, recursing per
+    level; pure Column ops (split/transform/array_join)."""
+    import re as _re
+
+    sep, inner = ftype[1], ftype[2]
+    parts = F.split(v, _re.escape(sep))
+    if isinstance(inner, tuple) and inner[0] == "tokenized":
+        items = F.transform(parts, lambda x: _tokenized_json(x, inner))
+    else:
+        items = F.transform(
+            parts,
+            lambda x: F.concat(
+                F.lit('"'), _json_escape_col(x), F.lit('"')
+            ),
+        )
+    return F.concat(
+        F.lit("[ "), F.array_join(items, ", "), F.lit(" ]")
+    )
+
+
+def _ln_field_value(v, ftype):
+    """Captured span -> event value per field type."""
+    if ftype == "quoted-string":
+        # liblognorm strips the enclosing quotes from the value
+        return F.regexp_replace(v, '^"|"$', "")
+    if isinstance(ftype, tuple) and ftype[0] == "tokenized":
+        return _tokenized_json(v, ftype)
+    return v
+
+
 def rulebase_map_expr(msg, rules: list, key_prefix: str = ""):
     """First-match rule cascade -> map<string,string> Column over
     ``msg``. ``key_prefix`` prepends the flat-key path (mmnormalize's
@@ -366,13 +464,10 @@ def rulebase_map_expr(msg, rules: list, key_prefix: str = ""):
         regex, fields, consts = (
             rule if len(rule) == 3 else (rule[0], rule[1], [])
         )
-        vals = []
-        for k, (_name, ftype) in enumerate(fields):
-            v = F.regexp_extract(msg, regex, k + 1)
-            if ftype == "quoted-string":
-                # liblognorm strips the enclosing quotes from the value
-                v = F.regexp_replace(v, '^"|"$', "")
-            vals.append(v)
+        vals = [
+            _ln_field_value(F.regexp_extract(msg, regex, k + 1), ftype)
+            for k, (_name, ftype) in enumerate(fields)
+        ]
         # annotate= constants ride the same matched map (liblognorm
         # annotation: tag-matched events gain the fixed fields)
         vals.extend(F.lit(cv) for _cn, cv in consts)

@@ -816,3 +816,88 @@ class TestRulebaseRegexAndAnnotate:
             parse_rulebase("annotate=A:bad-syntax")
         with pytest.raises(ValueError, match="only rule="):
             parse_rulebase("prefix=%d:date-rfc3164%")
+
+
+class TestRulebaseTokenized:
+    """liblognorm tokenized/char-sep field types — byte-exact against
+    tests/mmnormalize_tokenized.sh (same rulebase file text, same
+    post-rfc3164-parse msg payloads, cmp the JSON-array renderings)."""
+
+    # testsuites/mmnormalize_tokenized.rulebase verbatim
+    RB = (
+        "rule=only_ips:%only_ips:tokenized:, :ipv4%\n"
+        "rule=local_ips:local ips are %local_ips:tokenized:, :ipv4%\n"
+        "rule=external_ips:%external_ips:tokenized:, :ipv4% are "
+        "external ips\n"
+        "rule=paths:for %user:char-to:@%@localhost path was "
+        "%fragments:tokenized:\\x3a:char-sep:\\x3a%\n"
+        "rule=recur_comma_colon_nos:comma separated list of colon "
+        "separated numbers: %some_nos:tokenized:, :tokenized: \\x3a "
+        ":tokenized:#:number%\n"
+    )
+
+    # msg payloads after the rfc3164 TAG '%PIX-7-710005:' is consumed
+    MSGS = [
+        "10.20.30.40, 50.60.70.80, 90.100.110.120, 130.140.150.160",
+        "local ips are 192.168.1.2, 192.168.1.3, 192.168.1.4",
+        "10.20.30.40, 50.60.70.80, 190.200.210.220 are external ips",
+        "for foo@localhost path was /bin:/usr/local/bin:/usr/bin",
+        "comma separated list of colon separated numbers: "
+        "10, 20 : 30#40#50 : 60#70#80, 90 : 100",
+    ]
+
+    @pytest.fixture(scope="class")
+    def maps(self, spark):
+        from rsyslog_spark.mods import parse_rulebase, rulebase_map_expr
+
+        df = spark.createDataFrame([(m,) for m in self.MSGS],
+                                   "msg string")
+        rows = df.select(
+            "msg",
+            rulebase_map_expr(
+                F.col("msg"), parse_rulebase(self.RB)
+            ).alias("m"),
+        ).collect()
+        return {r["msg"]: dict(r["m"]) for r in rows}
+
+    def test_flat_ip_lists(self, maps):
+        # content_check lines 1-3 of mmnormalize_tokenized.sh
+        assert maps[self.MSGS[0]]["only_ips"] == (
+            '[ "10.20.30.40", "50.60.70.80", "90.100.110.120", '
+            '"130.140.150.160" ]'
+        )
+        assert maps[self.MSGS[1]]["local_ips"] == (
+            '[ "192.168.1.2", "192.168.1.3", "192.168.1.4" ]'
+        )
+        assert maps[self.MSGS[2]]["external_ips"] == (
+            '[ "10.20.30.40", "50.60.70.80", "190.200.210.220" ]'
+        )
+
+    def test_char_sep_paths_with_json_escapes(self, maps):
+        # content_check '[ "\/bin", "\/usr\/local\/bin", "\/usr\/bin" ] foo'
+        got = maps[self.MSGS[3]]
+        assert got["user"] == "foo"
+        assert got["fragments"] == (
+            '[ "\\/bin", "\\/usr\\/local\\/bin", "\\/usr\\/bin" ]'
+        )
+
+    def test_three_level_recursion(self, maps):
+        # content_check '[ [ [ "10" ] ], [ [ "20" ], [ "30", "40", "50" ],
+        #                 [ "60", "70", "80" ] ], [ [ "90" ], [ "100" ] ] ]'
+        assert maps[self.MSGS[4]]["some_nos"] == (
+            '[ [ [ "10" ] ], [ [ "20" ], [ "30", "40", "50" ], '
+            '[ "60", "70", "80" ] ], [ [ "90" ], [ "100" ] ] ]'
+        )
+
+    def test_first_match_order_preserved(self, maps):
+        # the first rule is only_ips: line 2 must NOT fall into it
+        # (leading 'local ips are ' breaks the pure-ip-list pattern)
+        assert "only_ips" not in maps[self.MSGS[1]]
+
+    def test_tokenized_spec_errors(self):
+        from rsyslog_spark.mods import parse_rulebase
+
+        with pytest.raises(ValueError, match="tokenized needs"):
+            parse_rulebase("rule=:%x:tokenized%")
+        with pytest.raises(ValueError, match="tokenized needs"):
+            parse_rulebase("rule=:%x:tokenized:, %")
