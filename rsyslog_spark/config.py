@@ -279,9 +279,35 @@ class _Parser:
                         "__subtree__" + p.get("subtree", "$!")
                     )
                     return
+                if ttype == "list":
+                    # template(type="list") { constant(...) property(...) }
+                    # (template.c:1380-1700) -> ListTemplate parts
+                    from rsyslog_spark.templates import ListTemplate
+
+                    parts: list = []
+                    self.expect("{")
+                    while self.peek()[1] != "}":
+                        _, word = self.next()
+                        lw = word.lower()
+                        bp = self.params()
+                        if lw == "constant":
+                            parts.append(("c", bp["value"]))
+                        elif lw == "property":
+                            parts.append(("p", bp))
+                        else:
+                            raise ValueError(
+                                f"unsupported list-template element "
+                                f"{word!r} (constant/property)"
+                            )
+                        if self.peek()[1] == ";":
+                            self.next()
+                    self.expect("}")
+                    self.cfg.templates[p["name"]] = ListTemplate(parts)
+                    return
                 if ttype != "string":
                     raise ValueError(
-                        "only type=string/subtree templates supported"
+                        "only type=string/subtree/list templates "
+                        "supported"
                     )
                 self.cfg.templates[p["name"]] = p["string"]
                 return

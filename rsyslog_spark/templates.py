@@ -322,10 +322,28 @@ def _apply_options(
     elif from_pos.startswith("R"):
         # R,<flavor>,<match>,<submatch>,<nomatchact>:regex given in to_pos
         parts = from_pos.split(",")
+        flavor = parts[1] if len(parts) > 1 else "ERE"
         submatch = int(parts[3]) if len(parts) > 3 and parts[3].isdigit() else 0
+        nomatch = parts[4] if len(parts) > 4 and parts[4] else "DFLT"
+        rx = to_pos
+        if flavor == "BRE":
+            from rsyslog_spark.filters import bre_to_java
+
+            rx = bre_to_java(rx)
+        # regex.NomatchMode (template.c:1569-1585): DFLT -> the msg.c
+        # "**NO MATCH**" marker, BLANK -> '', ZERO -> '0', FIELD ->
+        # the whole unprocessed field
+        fallback = {
+            "DFLT": F.lit("**NO MATCH**"),
+            "BLANK": F.lit(""),
+            "ZERO": F.lit("0"),
+            "FIELD": col,
+        }.get(nomatch)
+        if fallback is None:
+            raise ValueError(f"invalid regex nomatch mode {nomatch!r}")
         col = F.coalesce(
-            F.nullif(F.regexp_extract(col, to_pos, submatch), F.lit("")),
-            F.lit("**NO MATCH**"),
+            F.nullif(F.regexp_extract(col, rx, submatch), F.lit("")),
+            fallback,
         )
     # stage 3: substring via fromPos/toPos, 1-based inclusive (msg.c:4120)
     elif from_pos:
@@ -371,12 +389,115 @@ def _apply_options(
     return col
 
 
-def compile_template(spec: str) -> Column:
-    """Compile a template (text form or builtin name) to ONE Column.
+class ListTemplate:
+    """template(type="list") { constant(...) property(...) } — the
+    modern template form (template.c pblkConstant/pblkProperty,
+    :1380-1700). ``parts``: ('c', text) | ('p', params-dict)."""
 
-    ``spec`` may be a builtin name ('RSYSLOG_TraditionalFileFormat') or a
-    template string with %prop:from:to:options% fields.
+    def __init__(self, parts: list):
+        self.parts = parts
+
+
+# property() param -> text-form option, where the mapping is 1:1
+# (template.c's own constructor does the same folding into the legacy
+# option pipeline)
+_LIST_OPT = {
+    ("caseconversion", "lower"): "lowercase",
+    ("caseconversion", "upper"): "uppercase",
+    ("controlcharacters", "escape"): "escape-cc",
+    ("controlcharacters", "space"): "space-cc",
+    ("controlcharacters", "drop"): "drop-cc",
+    ("securepath", "drop"): "secpath-drop",
+    ("securepath", "replace"): "secpath-replace",
+    ("format", "csv"): "csv",
+    ("format", "json"): "json",
+}
+_LIST_FLAG = {
+    "droplastlf": "drop-last-lf",
+    "spifno1stsp": "sp-if-no-1st-sp",
+    "compressspace": "compressspace",
+}
+# accepted but no-op here: outname only matters for name=value formats;
+# date.inutc is the engine's pinned state already (session tz = UTC)
+_LIST_IGNORED = {"name", "outname", "date.inutc"}
+_LIST_POSITIONAL = {
+    "position.from", "position.to", "field.number", "field.delimiter",
+    "regex.expression", "regex.type", "regex.nomatchmode",
+    "regex.match", "regex.submatch", "dateformat",
+}
+
+
+def _compile_list_property(p: dict) -> Column:
+    """One property(...) block -> Column via the SAME option pipeline
+    as the text form (the reference folds both syntaxes into one
+    struct, template.c:1467-1700)."""
+    prop = p["name"]
+    opts: list[str] = []
+    from_pos, to_pos = "", ""
+    for k, v in p.items():
+        if k in _LIST_IGNORED or k in _LIST_POSITIONAL:
+            continue
+        if k in _LIST_FLAG:
+            if str(v).lower() in ("on", "1"):
+                opts.append(_LIST_FLAG[k])
+            continue
+        opt = _LIST_OPT.get((k, str(v).lower()))
+        if opt is None:
+            raise ValueError(
+                f"unsupported list-template property param {k}={v!r}"
+            )
+        opts.append(opt)
+    if "dateformat" in p:
+        opts.append("date-" + str(p["dateformat"]))
+    if "regex.expression" in p:
+        from_pos = ",".join([
+            "R",
+            str(p.get("regex.type", "ERE")),
+            str(p.get("regex.match", "0")),
+            str(p.get("regex.submatch", "0")),
+            str(p.get("regex.nomatchmode", "DFLT")),
+        ])
+        if str(p.get("regex.type", "ERE")) not in ("ERE", "BRE"):
+            raise ValueError(
+                f"invalid regex.type {p['regex.type']!r} for property"
+            )
+        to_pos = p["regex.expression"]
+    elif "field.number" in p:
+        from_pos = "F"
+        if "field.delimiter" in p:
+            from_pos = f"F,{int(p['field.delimiter'])}"
+        to_pos = str(int(p["field.number"]))
+    elif "position.from" in p or "position.to" in p:
+        from_pos = str(int(p.get("position.from", 1)))
+        # position.to defaults to end-of-field (template.c toPos 0 =
+        # unset -> whole remainder)
+        to_pos = str(int(p.get("position.to", 2**30)))
+    col = resolve_property(prop)
+    return _apply_options(col, prop, from_pos, to_pos, opts)
+
+
+def compile_list_template(spec: ListTemplate) -> Column:
+    parts: list[Column] = []
+    for kind, payload in spec.parts:
+        if kind == "c":
+            parts.append(F.lit(payload))
+        else:
+            parts.append(_compile_list_property(payload))
+    if not parts:
+        return F.lit("")
+    return F.concat(*parts)
+
+
+def compile_template(spec) -> Column:
+    """Compile a template (text form, list form, or builtin name) to
+    ONE Column.
+
+    ``spec`` may be a builtin name ('RSYSLOG_TraditionalFileFormat'), a
+    template string with %prop:from:to:options% fields, or a
+    ListTemplate from the config frontend.
     """
+    if isinstance(spec, ListTemplate):
+        return compile_list_template(spec)
     if spec in BUILTIN_TEMPLATES:
         spec = BUILTIN_TEMPLATES[spec]
     if spec.startswith("__subtree__"):

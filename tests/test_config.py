@@ -901,3 +901,111 @@ class TestRulebaseTokenized:
             parse_rulebase("rule=:%x:tokenized%")
         with pytest.raises(ValueError, match="tokenized needs"):
             parse_rulebase("rule=:%x:tokenized:, %")
+
+
+class TestListTemplates:
+    """template(type="list") { constant()/property() } — the modern
+    template form (template.c:1380-1700), folded into the same option
+    pipeline as the text form. Capstone: the reference's
+    mmnormalize_variable.sh flow end to end (list template with a
+    regex property -> exec_template -> set $.var -> mmnormalize
+    variable=... -> rulebase extraction), content_check parity."""
+
+    @pytest.fixture(scope="class")
+    def df(self, spark):
+        rows = [(1, " at Thu Oct 30 13:20:18 IST 2014 random number is "
+                    "19597", "h1", "a/b/c\nX")]
+        return spark.createDataFrame(
+            rows, "i long, msg string, hostname string, payload string"
+        )
+
+    def test_constant_property_render(self, df):
+        conf = '''
+        template(name="t" type="list") {
+            constant(value="host=")
+            property(name="hostname")
+            constant(value=" msg=")
+            property(name="msg" position.from="2" position.to="3")
+        }
+        ruleset(name="r") { action(type="omfile" file="/x/o.log" template="t") }
+        '''
+        ann, actions = compile_config(df, conf, entry="r")
+        a = actions[0]
+        line = a.output(ann).select(F.col(a.out_col).alias("x")).first()
+        assert line["x"] == "host=h1 msg=at"
+
+    def test_property_options(self, df):
+        conf = '''
+        template(name="t" type="list") {
+            property(name="hostname" caseConversion="upper")
+            constant(value=" ")
+            property(name="payload" securePath="replace" dropLastLF="on")
+            constant(value=" ")
+            property(name="payload" controlCharacters="drop"
+                     position.from="1" position.to="5")
+        }
+        ruleset(name="r") { action(type="omfile" file="/x/o.log" template="t") }
+        '''
+        ann, actions = compile_config(df, conf, entry="r")
+        a = actions[0]
+        line = a.output(ann).select(F.col(a.out_col).alias("x")).first()
+        # securePath=replace: '/' -> '_'; drop-cc strips the \n
+        assert line["x"] == "H1 a_b_c\nX a/b/c"
+
+    def test_field_extraction(self, df):
+        conf = '''
+        template(name="t" type="list") {
+            property(name="payload" field.number="2" field.delimiter="47")
+        }
+        ruleset(name="r") { action(type="omfile" file="/x/o.log" template="t") }
+        '''
+        ann, actions = compile_config(df, conf, entry="r")
+        a = actions[0]
+        line = a.output(ann).select(F.col(a.out_col).alias("x")).first()
+        assert line["x"] == "b"        # split on '/' (code 47), field 2
+
+    def test_unsupported_param_loud(self, df):
+        conf = '''
+        template(name="t" type="list") {
+            property(name="msg" datatype="number")
+        }
+        ruleset(name="r") { action(type="omfile" file="/x/o.log" template="t") }
+        '''
+        with pytest.raises(ValueError, match="unsupported list-template"):
+            compile_config(df, conf, entry="r")
+
+    def test_mmnormalize_variable_e2e(self, df):
+        # tests/mmnormalize_variable.sh end to end; input line's msg
+        # after the rfc3164 TAG '%PIX-7-710005:' is consumed
+        conf = '''
+        template(name="time_fragment" type="list") {
+            property(name="msg" regex.Expression="[0-9]{2}:[0-9]{2}:[0-9]{2} [A-Z]+" regex.Type="ERE" regex.Match="0")
+        }
+        template(name="outfmt" type="string" string="h:%$!hr% m:%$!min% s:%$!sec%")
+        ruleset(name="r") {
+            set $.time_frag = exec_template("time_fragment");
+            action(type="mmnormalize" variable="$.time_frag"
+                   rule=["rule=hms:%hr:number%:%min:number%:%sec:number% %zone:word%"])
+            action(type="omfile" file="/x/o.log" template="outfmt")
+        }
+        '''
+        ann, actions = compile_config(df, conf, entry="r")
+        a = actions[0]
+        line = a.output(ann).select(F.col(a.out_col).alias("x")).first()
+        assert line["x"] == "h:13 m:20 s:18"   # content_check line
+
+    def test_regex_nomatch_modes(self, df):
+        conf = '''
+        template(name="t" type="list") {
+            property(name="msg" regex.Expression="zzz" regex.Type="ERE")
+            constant(value="|")
+            property(name="msg" regex.Expression="zzz" regex.nomatchmode="BLANK")
+            constant(value="|")
+            property(name="msg" regex.Expression="zzz" regex.nomatchmode="ZERO")
+        }
+        ruleset(name="r") { action(type="omfile" file="/x/o.log" template="t") }
+        '''
+        ann, actions = compile_config(df, conf, entry="r")
+        a = actions[0]
+        line = a.output(ann).select(F.col(a.out_col).alias("x")).first()
+        assert line["x"] == "**NO MATCH**||0"
