@@ -352,9 +352,19 @@ def parse_rulebase(text: str, allow_regex: bool = False) -> list:
             colon = body.index(":")
             tags = [t for t in body[:colon].split(",") if t]
             pattern = body[colon + 1:]
-            raw_rules.append(
-                _ln_compile_pattern(pattern, allow_regex) + (tags,)
-            )
+            try:
+                compiled = _ln_compile_pattern(pattern, allow_regex)
+            except ValueError as e:
+                if "allowRegex" in str(e):
+                    # the reference SKIPS a regex rule when allow_regex
+                    # is off (ln_loadSamples logs and continues; pinned
+                    # by tests/mmnormalize_regex_disabled.sh +
+                    # mmnormalize_regex_defaulted.sh: daemon runs, no
+                    # extraction) — engine-unsupported constructs still
+                    # raise below
+                    continue
+                raise
+            raw_rules.append(compiled + (tags,))
         elif line.startswith("annotate="):
             m = _re.fullmatch(
                 r'annotate=([^:]+):\+([^=]+)="((?:[^"\\]|\\.)*)"', line

@@ -733,16 +733,19 @@ class TestRulebaseRegexAndAnnotate:
             "192.168.1.4:443, 192.168.1.5"
         )
 
-    def test_regex_disabled_rejected(self, df):
-        # tests/mmnormalize_regex_disabled.sh: without allowRegex="on"
-        # the rule with a regex field fails to load
+    def test_regex_disabled_skips_rule(self, df):
+        # tests/mmnormalize_regex_disabled.sh + _defaulted.sh: without
+        # allowRegex="on" the regex rule is SKIPPED at load (the daemon
+        # runs, the event is just unparsed -> no extraction; the
+        # reference asserts the output is missing the IPs)
         conf = f'''
         ruleset(name="r") {{
             action(type="mmnormalize" rule=["{self.RB_REGEX}"])
         }}
         '''
-        with pytest.raises(ValueError, match="allowRegex"):
-            parse_config(conf)
+        ann, _ = compile_config(df, conf, entry="r")
+        v = dict(ann.first()["vars"])
+        assert "hps" not in v and "originalmsg" in v
 
     def test_inner_groups_dont_shift_fields(self, spark):
         # a regex field with nested groups followed by a plain field:
