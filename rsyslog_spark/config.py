@@ -133,6 +133,9 @@ class ParsedConfig:
     parsers: dict = field(default_factory=dict)  # name -> parser() params
     queued: set = field(default_factory=set)  # rulesets with own queue
     main: list = field(default_factory=list)  # statements outside rulesets
+    # global(...)/main_queue(...) parameter objects, recorded as
+    # (kind, params) in file order
+    globals: list = field(default_factory=list)
     # sinks marked down at config time (health probe / operator flag);
     # drives action suspension + previous_action_suspended()
     suspended: set = field(default_factory=set)
@@ -348,6 +351,43 @@ class _Parser:
             if lword == "module":
                 self.next()
                 self.cfg.modules.append(self.params())
+                return
+            if lword == "include":
+                # include(file=... | text=... [mode=...]) — token-level
+                # splice (includeProcessCnf, rainerscript.c:5476-5550;
+                # file resolution cnfDoInclude :5393-5470). Included
+                # text goes through the same legacy pre-pass.
+                self.next()
+                p = self.params()
+                inc_file, inc_text = p.get("file"), p.get("text")
+                if inc_file is not None and inc_text is not None:
+                    raise ValueError(
+                        "include() must have either 'file' or 'text' "
+                        "parameter, but both are set"
+                    )
+                if inc_file is None and inc_text is None:
+                    raise ValueError(
+                        "include() must have either 'file' or 'text' "
+                        "parameter"
+                    )
+                mode = p.get("mode", "abort-if-missing")
+                if mode not in ("abort-if-missing", "required",
+                                "optional"):
+                    raise ValueError(f"invalid include mode {mode!r}")
+                if inc_file is not None:
+                    inc_text = _include_files(
+                        inc_file, optional=(mode == "optional")
+                    )
+                toks = _tokenize(_strip_legacy(inc_text, self.cfg))
+                self.t = self.t[:self.i] + toks + self.t[self.i:]
+                return
+            if lword in ("global", "main_queue"):
+                # daemon-level parameter objects: recorded (work dirs,
+                # net permits, queue sizing have no batch analog; the
+                # one semantic global this engine honors is the session
+                # UTC pin documented in SURVEY §1.3)
+                self.next()
+                self.cfg.globals.append((lword, self.params()))
                 return
             if lword == "input":
                 self.next()
@@ -1103,16 +1143,57 @@ def parse_config(
         cfg.lookups.update(lookups)
     if suspended_sinks:
         cfg.suspended.update(suspended_sinks)
+    tokens = _tokenize(_strip_legacy(text, cfg))
+    return _Parser(tokens, cfg).parse()
+
+
+def _include_files(pattern: str, optional: bool) -> str:
+    """Resolve an include file glob to concatenated config text
+    (cnfDoInclude, grammar/rainerscript.c:5393-5470: glob sorted,
+    directories recursed, zero matches an error unless optional)."""
+    import glob as _glob
+
+    paths = sorted(_glob.glob(pattern))
+    if not paths:
+        if optional:
+            return ""
+        raise ValueError(
+            f"include file {pattern!r} could not be accessed "
+            "(cnfDoInclude; mode abort-if-missing/required)"
+        )
+    out = []
+    for path in paths:
+        if os.path.isdir(path):
+            out.append(
+                _include_files(os.path.join(path, "*"), optional=True)
+            )
+        else:
+            with open(path) as fh:
+                out.append(fh.read())
+    return "\n".join(out)
+
+
+def _strip_legacy(text: str, cfg: ParsedConfig) -> str:
+    """Consume legacy sysklogd lines into cfg; return the modern-syntax
+    remainder. $IncludeConfig (legacy include directive) splices the
+    globbed files' content in place, recursively."""
     modern_lines = []
     for line in text.splitlines():
         stripped = line.strip()
         if not stripped or stripped.startswith("#"):
             continue
+        if stripped.lower().startswith("$includeconfig"):
+            pat = stripped.split(None, 1)[1] if " " in stripped else ""
+            # legacy semantics: a non-matching glob is tolerated
+            # (doIncludeFile logs and continues)
+            modern_lines.append(
+                _strip_legacy(_include_files(pat, optional=True), cfg)
+            )
+            continue
         if _legacy_line(line, cfg):
             continue
         modern_lines.append(line)
-    tokens = _tokenize("\n".join(modern_lines))
-    return _Parser(tokens, cfg).parse()
+    return "\n".join(modern_lines)
 
 
 def compile_config(df, text: str, entry: str | None = None,

@@ -1012,3 +1012,84 @@ class TestListTemplates:
         a = actions[0]
         line = a.output(ann).select(F.col(a.out_col).alias("x")).first()
         assert line["x"] == "**NO MATCH**||0"
+
+
+class TestIncludeAndGlobal:
+    """include(file=/text=) object (includeProcessCnf,
+    rainerscript.c:5476-5550) + $IncludeConfig legacy directive +
+    global()/main_queue() parameter objects."""
+
+    @pytest.fixture(scope="class")
+    def df(self, spark):
+        return spark.createDataFrame(
+            [(1, "hello world", 3)], "i long, msg string, syslogseverity int"
+        )
+
+    def test_include_text_splice(self, df):
+        conf = '''
+        include(text="ruleset(name=\\"r\\") { action(type=\\"omfile\\" file=\\"/x/a.log\\") }")
+        '''
+        ann, actions = compile_config(df, conf, entry="r")
+        assert [a.sink for a in actions] == ["a"]
+
+    def test_include_file_glob_sorted(self, df, tmp_path):
+        (tmp_path / "10-first.conf").write_text(
+            'ruleset(name="r") {\n'
+            '    action(type="omfile" file="/x/one.log")\n'
+        )
+        (tmp_path / "20-second.conf").write_text(
+            '    action(type="omfile" file="/x/two.log")\n}\n'
+        )
+        conf = f'include(file="{tmp_path}/*.conf")'
+        ann, actions = compile_config(df, conf, entry="r")
+        # glob order is sorted -> the split ruleset reassembles 1 then 2
+        assert [a.sink for a in actions] == ["one", "two"]
+
+    def test_include_legacy_directive_and_nesting(self, df, tmp_path):
+        inner = tmp_path / "inner.conf"
+        inner.write_text('$template legt,"%msg%"\n'
+                         'action(type="omfile" file="/x/in.log")\n')
+        outer = tmp_path / "outer.conf"
+        outer.write_text(f"$IncludeConfig {inner}\n")
+        conf = f'$IncludeConfig {outer}\n' \
+               'action(type="omfile" file="/x/top.log")'
+        cfg = parse_config(conf)
+        assert "legt" in cfg.templates        # legacy line inside include
+        ann, actions = compile_config(df, conf)
+        assert [a.sink for a in actions] == ["in", "top"]
+
+    def test_include_missing(self, df, tmp_path):
+        # default mode aborts on a missing file; optional tolerates it
+        with pytest.raises(ValueError, match="could not be accessed"):
+            parse_config(f'include(file="{tmp_path}/nope/*.conf")')
+        cfg = parse_config(
+            f'include(file="{tmp_path}/nope/*.conf" mode="optional") '
+            'action(type="omfile" file="/x/t.log")'
+        )
+        assert len(cfg.main) == 1
+        # legacy $IncludeConfig tolerates a non-matching glob
+        cfg2 = parse_config(f"$IncludeConfig {tmp_path}/nope/*.conf\n"
+                            'action(type="omfile" file="/x/t.log")')
+        assert len(cfg2.main) == 1
+
+    def test_include_param_validation(self):
+        with pytest.raises(ValueError, match="both are set"):
+            parse_config('include(file="/a" text="x")')
+        with pytest.raises(ValueError, match="either 'file' or 'text'"):
+            parse_config('include(mode="optional")')
+        with pytest.raises(ValueError, match="invalid include mode"):
+            parse_config('include(file="/a" mode="sometimes")')
+
+    def test_global_and_main_queue_recorded(self, df):
+        conf = '''
+        global(workDirectory="/var/spool/rsyslog" maxMessageSize="64k")
+        main_queue(queue.size="100000")
+        ruleset(name="r") { action(type="omfile" file="/x/a.log") }
+        '''
+        cfg = parse_config(conf)
+        kinds = [k for k, _ in cfg.globals]
+        assert kinds == ["global", "main_queue"]
+        assert cfg.globals[0][1]["workdirectory"] == "/var/spool/rsyslog"
+        assert cfg.globals[1][1]["queue.size"] == "100000"
+        ann, actions = compile_config(df, conf, entry="r")
+        assert [a.sink for a in actions] == ["a"]
