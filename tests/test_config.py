@@ -1093,3 +1093,149 @@ class TestIncludeAndGlobal:
         assert cfg.globals[1][1]["queue.size"] == "100000"
         ann, actions = compile_config(df, conf, entry="r")
         assert [a.sink for a in actions] == ["a"]
+
+
+class TestMMNormalizeProcessingE2E:
+    """The reference's mmnormalize_processing_test2.sh flow end to end
+    (the PCI forwarding pipeline: useRawMsg mmnormalize with the full
+    processing rulebase, annotation enrichment, exec_template
+    defaulting cascade, three templated sinks). The file-path and
+    analytics output lines are asserted byte-exact; the t_file_record
+    line echoes the ORIGINAL timestamp offset/precision, which this
+    engine normalizes to UTC microseconds (documented divergence — the
+    session pins UTC), so it is checked structurally instead."""
+
+    RAW = ("<166>2017-03-08T12:18:47.165Z Host2.domain.com Process1: "
+           "[FFB87B70 verbose Process1HalCnxHostagent "
+           "opID=WFU-abfbbece] [WaitForUpdatesDone] Completed callback")
+
+    # testsuites/mmnormalize_processing_tests.rulebase verbatim
+    RULEBASE = r"""rule=WIN:<%n1:number%>1 %-:date-rfc5424% %n2:word% %v_tag:word% - - - %v_svc:word% %v_ret:word% %v_os:word% %v_msg:rest%
+annotate=WIN:+v_analytics_prefix="EvntSLog: "
+
+rule=ESX:<%-:number%>%-:date-rfc5424% %-:word% %v_tag:char-to:\x3a%: %v_msg:rest%
+annotate=ESX:+v_svc="SER2"
+annotate=ESX:+v_ret="Y01"
+annotate=ESX:+v_file="esx"
+annotate=ESX:+v_os="ESX"
+
+rule=LNX:<%-:number%>%-:date-rfc3164% %v_hostname:word% %v_tag:char-to:\x3a%: {%v_svc:char-to:\x2e%.%v_file:word% %v_ret:word% %v_os:word% [%v_forward:char-to:\x5d%]} %v_msg:rest%
+rule=LNX:<%-:number%>%-:date-rfc3164% %v_hostname:word% %v_tag:char-to:\x20% {%v_svc:char-to:\x2e%.%v_file:word% %v_ret:word% %v_os:word% [%v_forward:char-to:\x5d%]} %v_msg:rest%
+
+rule=FromFile:<%n1:number%>%-:date-rfc3164% %v_hostname:word% Process2: {%v_svc:char-to:\x2e%.%-:word% %v_ret:word% %v_os:word% [%v_forward:char-to:\x5d%]} (/%v_file:char-to:\x29%) %v_msg:rest%
+annotate=FromFile:+v_tag="Process2"
+"""
+
+    def _conf(self, rb_path):
+        return f'''
+template(name="t_file_record" type="string" string="%timestamp:::date-rfc3339% %timestamp:::date-rfc3339% %hostname% %$!v_tag% %$!v_msg%")
+template(name="t_file_path" type="string" string="/sb/logs/incoming/%$year%/%$month%/%$day%/svc_%$!v_svc%/ret_%$!v_ret%/os_%$!v_os%/%fromhost-ip%/r_relay1/%$!v_file:::lowercase%.gz")
+template(name="t_fromhost-ip" type="string" string="%fromhost-ip%")
+template(name="t_analytics_msg_default" type="string" string="%$!v_analytics_prefix%%rawmsg-after-pri%")
+template(name="t_analytics_tag_prefix" type="string" string="%$!v_tag%: ")
+template(name="t_analytics_msg_normalized" type="string" string="%timereported% %$!v_hostname% %$!v_analytics_prefix%%$!v_msg%")
+template(name="t_analytics" type="string" string="[][][%$!v_fromhost-ip%][%timestamp:::date-unixtimestamp%][] %$!v_analytics_msg%")
+
+ruleset(name="ruleset1") {{
+    action(type="mmnormalize" rulebase="{rb_path}" useRawMsg="on")
+    if ($!v_file == "") then {{
+        set $!v_file = $!v_tag;
+    }}
+    action(type="omfile" File="/out/record.log" template="t_file_record")
+    action(type="omfile" File="/out/path.log" template="t_file_path")
+
+    set $!v_forward = "PCI";
+
+    if ($!v_forward contains "PCI") then {{
+        if ($!v_fromhost-ip == "") then {{
+            set $!v_fromhost-ip = exec_template("t_fromhost-ip");
+        }}
+        if ($!v_msg == "" or $!v_tag == "") then {{
+            set $!v_analytics_msg = exec_template("t_analytics_msg_default");
+        }} else {{
+            if ($!v_analytics_prefix == "") then {{
+                set $!v_analytics_prefix = exec_template("t_analytics_tag_prefix");
+            }}
+            if ($!v_hostname == "") then {{
+                set $!v_hostname = exec_template("t_fromhost-ip");
+            }}
+            set $!v_analytics_msg = exec_template("t_analytics_msg_normalized");
+        }}
+        action(type="omfile" File="/out/analytics.log" template="t_analytics")
+    }}
+}}
+'''
+
+    def test_esx_flow(self, spark, tmp_path):
+        rb = tmp_path / "processing.rulebase"
+        rb.write_text(self.RULEBASE)
+        ts = "2017-03-08 12:18:47.165"
+        df = (
+            spark.createDataFrame(
+                [(1, self.RAW, self.RAW.split(">", 1)[1], "Host2.domain.com",
+                  "127.0.0.1")],
+                "i long, rawmsg string, rawmsg_after_pri string, "
+                "hostname string, fromhost_ip string",
+            )
+            .withColumn("timereported", F.lit(ts).cast("timestamp"))
+            .withColumn("timegenerated",
+                        F.lit("2017-03-08 12:18:47").cast("timestamp"))
+        )
+        ann, actions = compile_config(df, self._conf(rb), entry="ruleset1")
+        out = {}
+        for a in actions:
+            out[a.sink] = a.output(ann).select(
+                F.col(a.out_col).alias("x")
+            ).first()["x"]
+        # golden line 2 of the reference's cmp block, byte-exact
+        assert out["path"] == (
+            "/sb/logs/incoming/2017/03/08/svc_SER2/ret_Y01/os_ESX/"
+            "127.0.0.1/r_relay1/esx.gz"
+        )
+        # golden line 3, byte-exact (unixtime of 2017-03-08T12:18:47Z)
+        assert out["analytics"] == (
+            "[][][127.0.0.1][1488975527][] Mar  8 12:18:47 127.0.0.1 "
+            "Process1: [FFB87B70 verbose Process1HalCnxHostagent "
+            "opID=WFU-abfbbece] [WaitForUpdatesDone] Completed callback"
+        )
+        # line 1: same fields, UTC-normalized timestamp rendering
+        # (reference echoes '...165Z'; engine pins UTC microseconds)
+        assert out["record"] == (
+            "2017-03-08T12:18:47.165000+00:00 "
+            "2017-03-08T12:18:47.165000+00:00 Host2.domain.com "
+            "Process1 [FFB87B70 verbose Process1HalCnxHostagent "
+            "opID=WFU-abfbbece] [WaitForUpdatesDone] Completed callback"
+        )
+
+    def test_win_rule_takes_the_other_branch(self, spark, tmp_path):
+        # test1's WIN input: v_file is unset -> falls back to v_tag;
+        # the annotated analytics prefix survives the defaulting cascade
+        rb = tmp_path / "processing.rulebase"
+        rb.write_text(self.RULEBASE)
+        raw = ("<37>1 2017-03-08T12:53:47+02:00 Host1.domain.com "
+               "Security - - - SER1 M01 WIN [AUF] Wed Mar 08 11:53:48 "
+               "2017: N\\A/Security/Host1.domain.com/"
+               "Microsoft-Windows-Security-Auditing (5152) - message")
+        df = (
+            spark.createDataFrame(
+                [(1, raw, raw.split(">", 1)[1], "Host1.domain.com",
+                  "127.0.0.1")],
+                "i long, rawmsg string, rawmsg_after_pri string, "
+                "hostname string, fromhost_ip string",
+            )
+            .withColumn("timereported",
+                        F.lit("2017-03-08 10:53:47").cast("timestamp"))
+            .withColumn("timegenerated",
+                        F.lit("2017-03-08 12:53:47").cast("timestamp"))
+        )
+        ann, actions = compile_config(df, self._conf(rb), entry="ruleset1")
+        path = next(a for a in actions if a.sink == "path")
+        line = path.output(ann).select(
+            F.col(path.out_col).alias("x")
+        ).first()["x"]
+        # golden line 2 of test1: svc_SER1/ret_M01/os_WIN, v_file
+        # defaulted from v_tag 'Security' -> lowercased 'security'
+        assert line == (
+            "/sb/logs/incoming/2017/03/08/svc_SER1/ret_M01/os_WIN/"
+            "127.0.0.1/r_relay1/security.gz"
+        )
