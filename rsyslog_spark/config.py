@@ -564,7 +564,7 @@ class _Parser:
         - variable= is IGNORED when userawmsg is on (LogError + raw
           message wins, mmnormalize.c:399-410).
         """
-        from rsyslog_spark.mods import parse_rulebase
+        from rsyslog_spark.mods import load_rulebase_text, parse_rulebase
 
         rule = p.get("rule")
         rb_file = p.get("rulebase")
@@ -578,19 +578,10 @@ class _Parser:
                 "mmnormalize: rulebase needed. Use option rulebase or "
                 "rule. (mmnormalize.c:411-416)"
             )
-        if rule is not None:
-            lines = rule if isinstance(rule, list) else [rule]
-            text = "\n".join(lines) + "\n"
-        else:
-            try:
-                with open(rb_file) as fh:
-                    text = fh.read()
-            except OSError as e:
-                raise ValueError(
-                    f"mmnormalize: normalization rulebase {rb_file!r} "
-                    f"could not be loaded cannot activate action "
-                    f"(ln_loadSamples, mmnormalize.c:147-152): {e}"
-                ) from e
+        text = load_rulebase_text(
+            rule, rb_file, "mmnormalize",
+            "ln_loadSamples, mmnormalize.c:147-152",
+        )
         path = p.get("path", "$!")
         if len(path) < 2 or not path.startswith("$"):
             # reference logs and keeps the default (no abort)
@@ -1183,7 +1174,8 @@ def _strip_legacy(text: str, cfg: ParsedConfig) -> str:
         if not stripped or stripped.startswith("#"):
             continue
         if stripped.lower().startswith("$includeconfig"):
-            pat = stripped.split(None, 1)[1] if " " in stripped else ""
+            parts = stripped.split(None, 1)
+            pat = parts[1].strip() if len(parts) > 1 else ""
             # legacy semantics: a non-matching glob is tolerated
             # (doIncludeFile logs and continues)
             modern_lines.append(

@@ -198,7 +198,9 @@ def audio_features(
                     audioop.max(frames, width) if frames else 0,
                     True,
                 )
-        except (wave.Error, EOFError, ValueError):
+        except (wave.Error, EOFError, ValueError, audioop.error):
+            # audioop.error covers decodable-header/bogus-width WAVs
+            # (e.g. 40-bit samples): containment must hold for those too
             return (None, None, None, None, None, False)
 
     def _run(batches):

@@ -186,18 +186,25 @@ def _decode_hex_escapes(s: str) -> str:
 
 def _noncapturing(regex: str) -> str:
     """Rewrite every capturing ``(`` to ``(?:`` so a regex-type field's
-    inner groups don't shift the rule's field->group numbering."""
-    out, i = [], 0
+    inner groups don't shift the rule's field->group numbering.
+    Brackets inside character classes are literals and left alone."""
+    out, i, in_class = [], 0, False
     while i < len(regex):
         c = regex[i]
         if c == "\\" and i + 1 < len(regex):
             out.append(regex[i:i + 2])
             i += 2
             continue
-        if c == "(" and not regex.startswith("(?", i):
+        if in_class:
+            if c == "]":
+                in_class = False
+        elif c == "[":
+            in_class = True
+        elif c == "(" and not regex.startswith("(?", i):
             out.append("(?:")
-        else:
-            out.append(c)
+            i += 1
+            continue
+        out.append(c)
         i += 1
     return "".join(out)
 
@@ -374,9 +381,9 @@ def parse_rulebase(text: str, allow_regex: bool = False) -> list:
                     f"unsupported annotate line (expected annotate="
                     f'TAG:+name="value"): {line!r}'
                 )
-            annots.setdefault(m.group(1), []).append(
-                (m.group(2), m.group(3))
-            )
+            # the rulebase parser unescapes \" / \\ in the quoted value
+            val = _re.sub(r"\\(.)", r"\1", m.group(3))
+            annots.setdefault(m.group(1), []).append((m.group(2), val))
         else:
             raise ValueError(
                 f"unsupported rulebase line (only rule=/annotate= "
@@ -385,13 +392,16 @@ def parse_rulebase(text: str, allow_regex: bool = False) -> list:
     rules = []
     for regex, fields, tags in raw_rules:
         fnames = {nm for nm, _t in fields}
-        consts = [
-            (nm, val)
-            for t in tags
-            for nm, val in annots.get(t, [])
-            if nm not in fnames
-        ]
-        rules.append((regex, fields, consts))
+        # duplicate names (repeated annotate lines, two tags defining
+        # the same field) collapse LAST-wins like
+        # json_object_object_add — map_from_arrays would otherwise
+        # throw DUPLICATED_MAP_KEY at runtime
+        cmap: dict = {}
+        for t in tags:
+            for nm, val in annots.get(t, []):
+                if nm not in fnames:
+                    cmap[nm] = val
+        rules.append((regex, fields, list(cmap.items())))
     return rules
 
 
@@ -483,6 +493,15 @@ def rulebase_map_expr(msg, rules: list, key_prefix: str = ""):
         vals.extend(F.lit(cv) for _cn, cv in consts)
         names = [key_prefix + nm for nm, _t in fields]
         names.extend(key_prefix + cn for cn, _cv in consts)
+        # a rule repeating a field name: LAST wins (json object set
+        # overwrites) — duplicate map keys would throw at runtime
+        if len(set(names)) != len(names):
+            keep = {}
+            for idx2, nm in enumerate(names):
+                keep[nm] = idx2
+            sel2 = sorted(keep.values())
+            names = [names[x] for x in sel2]
+            vals = [vals[x] for x in sel2]
         empty = F.array().cast("array<string>")
         matched_map = F.map_from_arrays(
             F.array(*[F.lit(nm) for nm in names]) if names else empty,
@@ -577,3 +596,24 @@ def mm_utf8fix(
         )
 
     return df.withColumn(msg_col, _fix(F.col(msg_col)))
+
+
+def load_rulebase_text(rule, rb_file, modname: str, cite: str) -> str:
+    """Shared rule=/rulebase= source loader for mmnormalize +
+    pmnormalize (rule= is an array of rulebase lines joined with
+    newlines per the strcat walk; rulebase= names a file read at
+    config time — ln_loadSamples at activation). The caller validates
+    the exactly-one-source rule with its module's own reference error
+    text; a missing/unreadable file raises here with the shared
+    ln_loadSamples wording."""
+    if rule is not None:
+        lines = rule if isinstance(rule, list) else [rule]
+        return "\n".join(lines) + "\n"
+    try:
+        with open(rb_file) as fh:
+            return fh.read()
+    except OSError as e:
+        raise ValueError(
+            f"{modname}: normalization rulebase {rb_file!r} could not "
+            f"be loaded, cannot activate ({cite}): {e}"
+        ) from e

@@ -234,12 +234,21 @@ def build_custom_chain(
         .withColumn("syslogseverity", severity_expr(F.col("pri")))
         .withColumn("app_name", sel["appname"])
         .withColumn("procid", sel["procid"])
-        .withColumn("hostname", sel["hostname"])
-        .withColumn("msgid", sel["msgid"])
-        .withColumn("structured_data", sel["sd"])
-        .withColumn("fromhost", sel["fromhost"])
-        .withColumn("fromhost_ip", sel["fromhost_ip"])
     )
+    # reception/parser-set properties a parser may SET but never CLEARS
+    # (fromhost/fromhost-ip are reception-layer state, msg.c:4648-4655;
+    # hostname defaults to the receiver's value when no parser sets
+    # it): a branch value wins, otherwise any pre-existing input
+    # column passes through untouched
+    for out_col, key in (
+        ("hostname", "hostname"), ("msgid", "msgid"),
+        ("structured_data", "sd"), ("fromhost", "fromhost"),
+        ("fromhost_ip", "fromhost_ip"),
+    ):
+        v = sel[key]
+        if out_col in df.columns:
+            v = F.coalesce(v, F.col(out_col))
+        out = out.withColumn(out_col, v)
     # drop per-instance scratch columns
     scratch = [
         c for c in out.columns
@@ -248,14 +257,13 @@ def build_custom_chain(
     return out.drop(*scratch)
 
 
-# msgSetPropViaJSON's well-known property names (runtime/msg.c:4612-4662).
-# "source" is the documented alias for hostname (msg.c:4645). Names NOT
-# in this set are silently ignored, like the reference (msg.c:4663-4666).
-_PMNORM_KNOWN = {
-    "msg", "syslogtag", "pri", "syslogfacility", "syslogseverity",
-    "procid", "msgid", "structured-data", "hostname", "source",
-    "fromhost", "fromhost-ip",
-}
+# The well-known property names msgSetPropViaJSON maps
+# (runtime/msg.c:4612-4662) are exactly the keys _pmnormalize_branch
+# reads: msg, syslogtag, pri, syslogfacility, syslogseverity, procid,
+# msgid, structured-data, hostname (+ its documented alias "source",
+# msg.c:4645), fromhost, fromhost-ip. Names outside that set are
+# silently ignored, like the reference (msg.c:4663-4666) — enforcement
+# is the branch only reading those keys, not a separate filter.
 # Properties the reference maps but this engine does not model in a
 # parser chain (raw replacement / $! subtree graft) — rejected at
 # config time rather than silently diverging.
@@ -269,7 +277,7 @@ def _pmnormalize_rules(inst: dict) -> list:
     at activation, ln_loadSamples pmnormalize.c:124-137).
     ``undefinedPropertyError`` only changes reference-side logging, so
     it is accepted and ignored here."""
-    from rsyslog_spark.mods import parse_rulebase
+    from rsyslog_spark.mods import load_rulebase_text, parse_rulebase
 
     rule = inst.get("rule")
     rb_file = inst.get("rulebase")
@@ -278,19 +286,10 @@ def _pmnormalize_rules(inst: dict) -> list:
             "pmnormalize: parser instances need either parameter "
             "'rule' or 'rulebase', but not both (pmnormalize.c:196-205)"
         )
-    if rule is not None:
-        lines = rule if isinstance(rule, list) else [rule]
-        text = "\n".join(lines) + "\n"
-    else:
-        try:
-            with open(rb_file) as fh:
-                text = fh.read()
-        except OSError as e:
-            raise ValueError(
-                f"pmnormalize: normalization rulebase {rb_file!r} "
-                f"could not be loaded, cannot activate action "
-                f"(ln_loadSamples, pmnormalize.c:131-136): {e}"
-            ) from e
+    text = load_rulebase_text(
+        rule, rb_file, "pmnormalize",
+        "ln_loadSamples, pmnormalize.c:131-136",
+    )
     rules = parse_rulebase(text)
     for _rx, fields, consts in rules:
         for fname in [nm for nm, _t in fields] + [nm for nm, _v in consts]:

@@ -503,9 +503,19 @@ class RouteCompiler:
                 src = resolve_property(name.lstrip("$"))
         else:
             src = F.col("msg")
-        norm = rulebase_map_expr(
-            F.coalesce(src, F.lit("")), st.rules, st.prefix
+        # materialize the rule cascade ONCE into a scratch column —
+        # referencing the expression inside the map_filter lambda would
+        # inline (and re-evaluate) every rule regex per existing map
+        # entry per row
+        self._n += 1
+        nc = f"_norm{self._n}"
+        self._df = self._df.withColumn(
+            nc,
+            rulebase_map_expr(
+                F.coalesce(src, F.lit("")), st.rules, st.prefix
+            ),
         )
+        norm = F.col(nc)
         v = self._vars_col
         cur = F.col(v)
         # msgAddJSON merge: keys from the normalization result replace
@@ -519,7 +529,7 @@ class RouteCompiler:
         )
         self._df = self._df.withColumn(
             v, F.when(active, merged).otherwise(cur)
-        )
+        ).drop(nc)
         # MsgSetParseSuccess(pMsg, 1): ln_normalize reports success
         # even for unmatched lines (they become the unparsed event)
         if "parse_success" in self._df.columns:

@@ -1239,3 +1239,69 @@ ruleset(name="ruleset1") {{
             "/sb/logs/incoming/2017/03/08/svc_SER1/ret_M01/os_WIN/"
             "127.0.0.1/r_relay1/security.gz"
         )
+
+
+class TestReviewRegressions:
+    """Pinned fixes from the round-4 review pass."""
+
+    def test_regex_class_with_paren(self, spark):
+        # '(' inside a character class is a literal — the
+        # non-capturing rewrite must not corrupt the class
+        from rsyslog_spark.mods import parse_rulebase, rulebase_map_expr
+
+        rules = parse_rulebase("rule=:%f:regex:[(]x% %r:rest%",
+                               allow_regex=True)
+        df = spark.createDataFrame(
+            [("(x tail",), ("?x tail",)], "msg string"
+        )
+        rows = df.select(
+            "msg",
+            rulebase_map_expr(F.col("msg"), parse_rulebase(
+                "rule=:%f:regex:[(]x% %r:rest%", allow_regex=True
+            )).alias("m"),
+        ).collect()
+        by = {r["msg"]: dict(r["m"]) for r in rows}
+        assert by["(x tail"].get("f") == "(x"
+        assert "f" not in by["?x tail"]      # '?' must NOT match [(]
+
+    def test_chain_preserves_reception_properties(self, spark):
+        # a pmnull chain must not null a pre-existing hostname /
+        # fromhost_ip (reception-layer state parsers never clear)
+        from rsyslog_spark.config import apply_ruleset_parsers
+
+        df = spark.createDataFrame(
+            [("<13>hello", "2020-01-01 00:00:00", "recvhost", "9.9.9.9")],
+            "text string, ts_s string, hostname string, fromhost_ip string",
+        ).withColumn("ts", F.col("ts_s").cast("timestamp"))
+        parsed, _ = apply_ruleset_parsers(
+            df, 'ruleset(name="r" parser="rsyslog.pmnull") { stop }', "r"
+        )
+        r = parsed.first()
+        assert r["hostname"] == "recvhost"
+        assert r["fromhost_ip"] == "9.9.9.9"
+
+    def test_duplicate_annotations_last_wins(self, spark):
+        from rsyslog_spark.mods import parse_rulebase, rulebase_map_expr
+
+        rb = ('rule=A,B:%x:word% go\n'
+              'annotate=A:+y="1"\n'
+              'annotate=B:+y="2"\n')
+        df = spark.createDataFrame([("foo go",)], "msg string")
+        got = dict(df.select(
+            rulebase_map_expr(F.col("msg"), parse_rulebase(rb)).alias("m")
+        ).first()["m"])
+        assert got == {"x": "foo", "y": "2"}   # json object set: last wins
+
+    def test_annotation_value_unescaped(self, spark):
+        from rsyslog_spark.mods import parse_rulebase
+
+        rb = ('rule=T:%x:word%\n'
+              'annotate=T:+q="say \\"hi\\""\n')
+        _rx, _f, consts = parse_rulebase(rb)[0]
+        assert consts == [("q", 'say "hi"')]
+
+    def test_includeconfig_tab_separator(self, tmp_path):
+        inner = tmp_path / "in.conf"
+        inner.write_text('action(type="omfile" file="/x/in.log")\n')
+        cfg = parse_config(f"$IncludeConfig\t{inner}")
+        assert len(cfg.main) == 1

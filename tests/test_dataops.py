@@ -533,3 +533,19 @@ class TestAudioKernel:
         assert by[2]["rms"] == 0
         assert 0 < by[1]["rms"] < by[0]["rms"]
         assert 11000 < by[0]["peak"] <= 12000
+
+    def test_bogus_width_contained(self, spark):
+        # valid wave header, 40-bit samples: audioop raises
+        # audioop.error, which must be contained per-row too
+        # the wave WRITER refuses width 5, so patch a valid 16-bit WAV's
+        # fmt chunk to claim 40 bits/sample (offset 34) — the READER
+        # accepts it and audioop then raises audioop.error
+        data = bytearray(self._wav())
+        data[32:34] = (5).to_bytes(2, "little")      # block align
+        data[34:36] = (40).to_bytes(2, "little")     # bits per sample
+        df = spark.createDataFrame(
+            [(0, bytes(data)), (1, self._wav())],
+            "doc_id long, payload binary",
+        )
+        by = {r["id"]: r for r in multimodal.audio_features(df).collect()}
+        assert by[0]["ok"] is False and by[1]["ok"] is True
