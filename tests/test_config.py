@@ -1305,3 +1305,61 @@ class TestReviewRegressions:
         inner.write_text('action(type="omfile" file="/x/in.log")\n')
         cfg = parse_config(f"$IncludeConfig\t{inner}")
         assert len(cfg.main) == 1
+
+
+class TestTemplatePosFromTo:
+    """tests/template-pos-from-to*.sh goldens: 1-based inclusive
+    substring, oversize range -> empty (not error), missing json var
+    with a range -> empty; same through the list form."""
+
+    @pytest.fixture(scope="class")
+    def df(self, spark):
+        return spark.createDataFrame(
+            [(1, " msgnum:00000000")], "i long, msg string"
+        )
+
+    def _line(self, df, conf):
+        ann, actions = compile_config(df, conf, entry="r")
+        a = actions[0]
+        return a.output(ann).select(F.col(a.out_col).alias("x")).first()["x"]
+
+    def test_in_range(self, df):
+        conf = '''
+        template(name="outfmt" type="string" string="%msg:9:16:%")
+        ruleset(name="r") { action(type="omfile" file="/o.log" template="outfmt") }
+        '''
+        assert self._line(df, conf) == "00000000"     # seq_check parity
+
+    def test_oversize_empty_string_form(self, df):
+        conf = '''
+        template(name="outfmt" type="string" string="-%msg:109:116:%-")
+        ruleset(name="r") { action(type="omfile" file="/o.log" template="outfmt") }
+        '''
+        assert self._line(df, conf) == "--"           # cmp golden
+
+    def test_oversize_empty_list_form(self, df):
+        conf = '''
+        template(name="outfmt" type="list") {
+            constant(value="-")
+            property(name="msg" position.from="109" position.to="116")
+            constant(value="-")
+        }
+        ruleset(name="r") { action(type="omfile" file="/o.log" template="outfmt") }
+        '''
+        assert self._line(df, conf) == "--"
+
+    def test_missing_jsonvar_empty(self, df):
+        conf = '''
+        template(name="outfmt" type="string" string="-%$!non!existing!var:109:116:%-")
+        ruleset(name="r") { action(type="omfile" file="/o.log" template="outfmt") }
+        '''
+        assert self._line(df, conf) == "--"
+
+    def test_oversize_lowercase(self, df):
+        # template-pos-from-to-oversize-lowercase.sh: option pipeline
+        # still applies over the empty extraction
+        conf = '''
+        template(name="outfmt" type="string" string="-%msg:109:116:lowercase%-")
+        ruleset(name="r") { action(type="omfile" file="/o.log" template="outfmt") }
+        '''
+        assert self._line(df, conf) == "--"
