@@ -512,7 +512,12 @@ def compile_template(spec) -> Column:
             prop = bits[0]
             from_pos = bits[1] if len(bits) > 1 else ""
             to_pos = bits[2] if len(bits) > 2 else ""
-            opts = bits[3].split(",") if len(bits) > 3 else []
+            # doOptions lowercases every option char (template.c:676),
+            # so %msg:::compressSPACE% == compressspace
+            opts = (
+                [o.lower() for o in bits[3].split(",")]
+                if len(bits) > 3 else []
+            )
             col = resolve_property(prop)
             parts.append(_apply_options(col, prop, from_pos, to_pos, opts))
         elif seg:

@@ -1363,3 +1363,21 @@ class TestTemplatePosFromTo:
         ruleset(name="r") { action(type="omfile" file="/o.log" template="outfmt") }
         '''
         assert self._line(df, conf) == "--"
+
+
+class TestCompressSpaceGolden:
+    def test_compresssp_stringtpl(self, spark):
+        # tests/compresssp-stringtpl.sh: mixed-case option name +
+        # multi-space collapse, cmp_exact golden
+        df = spark.createDataFrame(
+            [(1, "msgnum:0000000 test   test     test")],
+            "i long, msg string",
+        )
+        conf = '''
+        template(name="outfmt" type="string" string="%msg:::compressSPACE%")
+        ruleset(name="r") { action(type="omfile" file="/o.log" template="outfmt") }
+        '''
+        ann, actions = compile_config(df, conf, entry="r")
+        a = actions[0]
+        line = a.output(ann).select(F.col(a.out_col).alias("x")).first()["x"]
+        assert line == "msgnum:0000000 test test test"
