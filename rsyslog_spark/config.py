@@ -282,6 +282,25 @@ class _Parser:
                         "__subtree__" + p.get("subtree", "$!")
                     )
                     return
+                # template-level escaping options (template.c optTyp:
+                # option.json/sql/stdsql apply to EVERY property)
+                tpl_opts = [
+                    o for o in ("json", "sql", "stdsql")
+                    if str(p.get(f"option.{o}", "off")).lower()
+                    in ("on", "1")
+                ]
+                unknown_opts = [
+                    k for k in p
+                    if k.startswith("option.")
+                    and k not in ("option.json", "option.sql",
+                                  "option.stdsql")
+                ]
+                if unknown_opts:
+                    raise ValueError(
+                        f"unsupported template option param(s) "
+                        f"{unknown_opts} (supported: option.json/"
+                        "sql/stdsql)"
+                    )
                 if ttype == "list":
                     # template(type="list") { constant(...) property(...) }
                     # (template.c:1380-1700) -> ListTemplate parts
@@ -305,14 +324,35 @@ class _Parser:
                         if self.peek()[1] == ";":
                             self.next()
                     self.expect("}")
-                    self.cfg.templates[p["name"]] = ListTemplate(parts)
+                    self.cfg.templates[p["name"]] = ListTemplate(
+                        parts, tpl_opts
+                    )
                     return
                 if ttype != "string":
                     raise ValueError(
                         "only type=string/subtree/list templates "
                         "supported"
                     )
-                self.cfg.templates[p["name"]] = p["string"]
+                text = p["string"]
+                if tpl_opts:
+                    # text form: fold the template-level option into
+                    # every %...% field's option list (what
+                    # tplConstructFromStruct's optTyp does per entry)
+                    addon = ",".join(tpl_opts)
+
+                    def _addopt(m):
+                        body = m.group(1)
+                        if not body:
+                            return m.group(0)
+                        n = body.count(":")
+                        if n < 3:
+                            body += ":" * (3 - n) + addon
+                        else:
+                            body += "," + addon
+                        return "%" + body + "%"
+
+                    text = re.sub(r"%([^%]*)%", _addopt, text)
+                self.cfg.templates[p["name"]] = text
                 return
             if lword == "ruleset":
                 self.next()

@@ -392,10 +392,13 @@ def _apply_options(
 class ListTemplate:
     """template(type="list") { constant(...) property(...) } — the
     modern template form (template.c pblkConstant/pblkProperty,
-    :1380-1700). ``parts``: ('c', text) | ('p', params-dict)."""
+    :1380-1700). ``parts``: ('c', text) | ('p', params-dict).
+    ``opts``: template-level option.json/sql/stdsql (template.c
+    tplConstructFromStruct optTyp), applied to every property part."""
 
-    def __init__(self, parts: list):
+    def __init__(self, parts: list, opts: list | None = None):
         self.parts = parts
+        self.opts = list(opts or ())
 
 
 # property() param -> text-form option, where the mapping is 1:1
@@ -427,7 +430,7 @@ _LIST_POSITIONAL = {
 }
 
 
-def _compile_list_property(p: dict) -> Column:
+def _compile_list_property(p: dict, extra_opts: list | None = None) -> Column:
     """One property(...) block -> Column via the SAME option pipeline
     as the text form (the reference folds both syntaxes into one
     struct, template.c:1467-1700)."""
@@ -472,6 +475,7 @@ def _compile_list_property(p: dict) -> Column:
         # position.to defaults to end-of-field (template.c toPos 0 =
         # unset -> whole remainder)
         to_pos = str(int(p.get("position.to", 2**30)))
+    opts.extend(extra_opts or ())
     col = resolve_property(prop)
     return _apply_options(col, prop, from_pos, to_pos, opts)
 
@@ -482,7 +486,7 @@ def compile_list_template(spec: ListTemplate) -> Column:
         if kind == "c":
             parts.append(F.lit(payload))
         else:
-            parts.append(_compile_list_property(payload))
+            parts.append(_compile_list_property(payload, spec.opts))
     if not parts:
         return F.lit("")
     return F.concat(*parts)

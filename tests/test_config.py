@@ -1381,3 +1381,56 @@ class TestCompressSpaceGolden:
         a = actions[0]
         line = a.output(ann).select(F.col(a.out_col).alias("x")).first()["x"]
         assert line == "msgnum:0000000 test test test"
+
+
+class TestTemplateLevelOptions:
+    """option.json="on" at the template level applies JSON escaping to
+    every property (template.c optTyp) — byte-exact vs
+    tests/template-json.sh ('/' must NOT be escaped), both forms."""
+
+    @pytest.fixture(scope="class")
+    def df(self, spark):
+        return spark.createDataFrame([(1, "x")], "i long, msg string")
+
+    # the fixture's set line after config-string unescape:
+    #   $!backslash = a \ "b" c / d
+    SET = 'set $!backslash = "a \\\\ \\"b\\" c / d";'
+    GOLD = '{"backslash":"a \\\\ \\"b\\" c / d"}'
+
+    def _line(self, df, conf):
+        ann, actions = compile_config(df, conf, entry="r")
+        a = actions[0]
+        return a.output(ann).select(F.col(a.out_col).alias("x")).first()["x"]
+
+    def test_list_form_golden(self, df):
+        conf = f'''
+        template(name="json" type="list" option.json="on") {{
+            constant(value="{{")
+            constant(value="\\"backslash\\":\\"")
+            property(name="$!backslash")
+            constant(value="\\"}}")
+        }}
+        ruleset(name="r") {{
+            {self.SET}
+            action(type="omfile" file="/o.log" template="json")
+        }}
+        '''
+        assert self._line(df, conf) == self.GOLD
+
+    def test_string_form(self, df):
+        conf = f'''
+        template(name="json" type="string" option.json="on"
+                 string="{{\\"backslash\\":\\"%$!backslash%\\"}}")
+        ruleset(name="r") {{
+            {self.SET}
+            action(type="omfile" file="/o.log" template="json")
+        }}
+        '''
+        assert self._line(df, conf) == self.GOLD
+
+    def test_unknown_option_param_loud(self, df):
+        with pytest.raises(ValueError, match="unsupported template option"):
+            parse_config(
+                'template(name="t" type="string" option.jsonf="on" '
+                'string="x")'
+            )
