@@ -285,7 +285,7 @@ class _Parser:
                 # template-level escaping options (template.c optTyp:
                 # option.json/sql/stdsql apply to EVERY property)
                 tpl_opts = [
-                    o for o in ("json", "sql", "stdsql")
+                    o for o in ("json", "sql", "stdsql", "jsonf")
                     if str(p.get(f"option.{o}", "off")).lower()
                     in ("on", "1")
                 ]
@@ -293,13 +293,19 @@ class _Parser:
                     k for k in p
                     if k.startswith("option.")
                     and k not in ("option.json", "option.sql",
-                                  "option.stdsql")
+                                  "option.stdsql", "option.jsonf")
                 ]
                 if unknown_opts:
                     raise ValueError(
                         f"unsupported template option param(s) "
                         f"{unknown_opts} (supported: option.json/"
-                        "sql/stdsql)"
+                        "sql/stdsql/jsonf)"
+                    )
+                if "jsonf" in tpl_opts and ttype != "list":
+                    raise ValueError(
+                        'option.jsonf="on" is only modeled for '
+                        "list templates (name:value framing needs "
+                        "per-part outnames)"
                     )
                 if ttype == "list":
                     # template(type="list") { constant(...) property(...) }
@@ -313,7 +319,22 @@ class _Parser:
                         lw = word.lower()
                         bp = self.params()
                         if lw == "constant":
-                            parts.append(("c", bp["value"]))
+                            val = bp["value"]
+                            if str(bp.get("format", "")).lower() in (
+                                "jsonf", "jsonfr"
+                            ):
+                                # constant jsonf pre-renders the json-c
+                                # pair form '"outname": "value"' — WITH
+                                # a space, unlike field jsonf
+                                # (template.c:1388-1400; golden
+                                # tests/template-const-jsonf.sh)
+                                nm = str(bp.get("outname", "constant"))
+                                esc = (
+                                    val.replace("\\", "\\\\")
+                                    .replace('"', '\\"')
+                                )
+                                val = f'"{nm}": "{esc}"'
+                            parts.append(("c", val))
                         elif lw == "property":
                             parts.append(("p", bp))
                         else:

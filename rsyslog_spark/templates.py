@@ -440,6 +440,8 @@ def _compile_list_property(p: dict, extra_opts: list | None = None) -> Column:
     for k, v in p.items():
         if k in _LIST_IGNORED or k in _LIST_POSITIONAL:
             continue
+        if k == "format" and str(v).lower() in ("jsonf", "jsonfr"):
+            continue  # handled after the option pipeline below
         if k in _LIST_FLAG:
             if str(v).lower() in ("on", "1"):
                 opts.append(_LIST_FLAG[k])
@@ -477,18 +479,44 @@ def _compile_list_property(p: dict, extra_opts: list | None = None) -> Column:
         to_pos = str(int(p.get("position.to", 2**30)))
     opts.extend(extra_opts or ())
     col = resolve_property(prop)
-    return _apply_options(col, prop, from_pos, to_pos, opts)
+    col = _apply_options(col, prop, from_pos, to_pos, opts)
+    if str(p.get("format", "")).lower() in ("jsonf", "jsonfr"):
+        # field format jsonf (template.c F_JSONF -> msg.c jsonField):
+        # '"<outname>":' + value, where an all-digit value renders as a
+        # bare number (dataType AUTO, msg.c:3439-3450) and anything
+        # else as a JSON-escaped quoted string
+        name_out = str(p.get("outname", prop))
+        body = F.coalesce(col.cast("string"), F.lit(""))
+        quoted = F.concat(F.lit('"'), json_escape(body), F.lit('"'))
+        val = F.when(
+            (body != "") & body.rlike("^[0-9]+$"), body
+        ).otherwise(quoted)
+        nm = name_out.replace("\\", "\\\\").replace('"', '\\"')
+        return F.concat(F.lit(f'"{nm}":'), val)
+    return col
 
 
 def compile_list_template(spec: ListTemplate) -> Column:
+    jsonf_frame = "jsonf" in spec.opts
+    extra = [o for o in spec.opts if o != "jsonf"]
     parts: list[Column] = []
     for kind, payload in spec.parts:
         if kind == "c":
             parts.append(F.lit(payload))
         else:
-            parts.append(_compile_list_property(payload, spec.opts))
+            parts.append(_compile_list_property(payload, extra))
     if not parts:
         return F.lit("")
+    if jsonf_frame:
+        # option.jsonf (template.c:190-240): '{' + parts joined ", "
+        # (a zero-length part emits no separator) + '}\n'
+        return F.concat(
+            F.lit("{"),
+            F.concat_ws(
+                ", ", *[F.nullif(c, F.lit("")) for c in parts]
+            ),
+            F.lit("}\n"),
+        )
     return F.concat(*parts)
 
 

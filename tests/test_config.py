@@ -1431,6 +1431,59 @@ class TestTemplateLevelOptions:
     def test_unknown_option_param_loud(self, df):
         with pytest.raises(ValueError, match="unsupported template option"):
             parse_config(
-                'template(name="t" type="string" option.jsonf="on" '
-                'string="x")'
+                'template(name="t" type="string" '
+                'option.casesensitive="on" string="x")'
             )
+
+
+class TestJsonfTemplates:
+    """format="jsonf" fields + option.jsonf framing — byte-exact vs
+    tests/template-const-jsonf.sh and template-pure-json.sh."""
+
+    @pytest.fixture(scope="class")
+    def df(self, spark):
+        return spark.createDataFrame(
+            [(1, " msgnum:00000000:")], "i long, msg string"
+        )
+
+    def _line(self, df, conf):
+        ann, actions = compile_config(df, conf, entry="r")
+        a = actions[0]
+        return a.output(ann).select(F.col(a.out_col).alias("x")).first()["x"]
+
+    def test_const_jsonf_golden(self, df):
+        conf = '''
+        template(name="outfmt" type="list") {
+            constant(outname="@version" value="1" format="jsonf")
+        }
+        ruleset(name="r") { action(type="omfile" file="/o.log" template="outfmt") }
+        '''
+        assert self._line(df, conf) == '"@version": "1"'
+
+    def test_pure_json_golden(self, df):
+        conf = '''
+        template(name="outfmt" type="list" option.jsonf="on") {
+            property(outname="message" name="msg" format="jsonf")
+            constant(outname="@version" value="1" format="jsonf")
+        }
+        ruleset(name="r") { action(type="omfile" file="/o.log" template="outfmt") }
+        '''
+        assert self._line(df, conf) == (
+            '{"message":" msgnum:00000000:", "@version": "1"}\n'
+        )
+
+    def test_numeric_auto(self, spark):
+        # msg.c jsonField dataType AUTO: all-digit value -> bare number
+        df2 = spark.createDataFrame([(1, "12345")], "i long, msg string")
+        conf = '''
+        template(name="t" type="list") {
+            property(outname="n" name="msg" format="jsonf")
+        }
+        ruleset(name="r") { action(type="omfile" file="/o.log" template="t") }
+        '''
+        assert self._line(df2, conf) == '"n":12345'
+
+    def test_jsonf_string_template_rejected(self):
+        with pytest.raises(ValueError, match="only modeled for"):
+            parse_config('template(name="t" type="string" '
+                         'option.jsonf="on" string="x")')
