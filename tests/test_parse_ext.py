@@ -735,3 +735,52 @@ class TestImkafkaOptions:
             imkafka_options({"topic": "t", "bogus": 1})
         with _pt.raises(ValueError, match="key=value"):
             imkafka_options({"topic": "t", "confparam": ["oops"]})
+
+
+class TestPropReplTagGoldens:
+    """tests/proprepltest-rfctag.sh + -nolimittag.sh: 3164 TAG shapes
+    (colon tag, bare digit, 32-char numeric, over-long) rendered
+    through %syslogtag:1:32% and unlimited %syslogtag% — cmp parity."""
+
+    LINES = [
+        "<167>Mar  6 16:57:54 172.20.245.8 TAG: Rest of message...",
+        "<167>Mar  6 16:57:54 172.20.245.8 0 Rest of message...",
+        "<167>Mar  6 16:57:54 172.20.245.8 "
+        "01234567890123456789012345678901 Rest of message...",
+        "<167>Mar  6 16:57:54 172.20.245.8 "
+        "01234567890123456789012345678901-toolong Rest of message...",
+    ]
+
+    @pytest.fixture(scope="class")
+    def parsed4(self, spark):
+        from rsyslog_spark.parse import with_parsed
+
+        df = spark.createDataFrame(
+            [(i, l, "2014-03-10 00:00:00")
+             for i, l in enumerate(self.LINES)],
+            "i long, text string, ts_s string",
+        ).withColumn("ts", F.col("ts_s").cast("timestamp"))
+        return with_parsed(df, require_header=True)
+
+    def _render(self, parsed4, tpl):
+        from rsyslog_spark.templates import compile_template
+
+        return [r["x"] for r in parsed4.select(
+            "i", compile_template(tpl).alias("x")
+        ).orderBy("i").collect()]
+
+    def test_rfctag_32_limit(self, parsed4):
+        assert self._render(parsed4, "+%syslogtag:1:32%+") == [
+            "+TAG:+",
+            "+0+",
+            "+01234567890123456789012345678901+",
+            "+01234567890123456789012345678901+",
+        ]
+
+    def test_nolimittag(self, parsed4):
+        assert self._render(parsed4, "+%syslogtag%+") == [
+            "+TAG:+",
+            "+0+",
+            "+01234567890123456789012345678901+",
+            "+01234567890123456789012345678901-toolong+",
+        ]
