@@ -179,6 +179,8 @@ _FUNNAMES = {
     "format_time", "parse_time", "is_time", "parse_json",
     "get_property", "script_error", "exists",
     "previous_action_suspended",
+    # fmhash function module (contrib/fmhash/fmhash.c)
+    "hash32", "hash32mod", "hash64", "hash64mod",
 }
 
 
@@ -1011,6 +1013,17 @@ class _Parser:
             return self._vnum(c[0], p[0][1]), "n"
         if name in ("ip42num", "ipv42num"):
             return rf.rs_ipv42num(cs[0]), "n"
+        if name in ("hash32", "hash64"):
+            # fmhash function module (contrib/fmhash): optional seed
+            fn = rf.rs_hash32 if name == "hash32" else rf.rs_hash64
+            seed = self._vnum(c[1], p[1][1]) if len(p) > 1 else None
+            return fn(cs[0], seed), "n"
+        if name in ("hash32mod", "hash64mod"):
+            fn = rf.rs_hash32 if name == "hash32mod" else rf.rs_hash64
+            seed = self._vnum(c[2], p[2][1]) if len(p) > 2 else None
+            return rf.rs_hash_mod(
+                fn(cs[0], seed), self._vnum(c[1], p[1][1])
+            ), "n"
         if name in ("re_match", "re_match_i"):
             pat = lit_or(1)
             if pat is None:

@@ -244,3 +244,102 @@ def rs_ipv42num(s: Column) -> Column:
         + F.get(p, 3).cast("long")
     )
     return F.when(ok, val).otherwise(F.lit(-1).cast("long"))
+
+
+# -- fmhash function module (contrib/fmhash/fmhash.c) -----------------------
+# The sandbox models the NON-xxhash build (fmhash.c:75-149): hash32 =
+# FNV-1 over uint32 with the seed as the starting value, hash64 =
+# modified Bernstein (djb) over uint64 with the seed ADDED at the end.
+# Both walk the UTF-8 BYTES of the string like the C loops — including
+# djb's signed-char sign extension for bytes >= 0x80. The reference's
+# own tests accept either build's values (content-pattern-check with
+# two alternatives); these reproduce the non-xxhash alternative
+# exactly (rscript_hash32/hash64 goldens).
+
+_U32 = 0xFFFFFFFF
+
+
+def _utf8_bytes(s: Column):
+    """(hex-string, byte-count) of the UTF-8 encoding."""
+    b = F.encode(F.coalesce(s, F.lit("")), "UTF-8")
+    return F.hex(b), F.octet_length(b)
+
+
+def _byte_at(hx: Column, i: Column) -> Column:
+    """i-th (0-based) byte as 0..255 long, via the hex projection."""
+    return F.conv(
+        F.substring(hx, i * 2 + 1, 2), 16, 10
+    ).cast("long")
+
+
+def rs_hash32(s: Column, seed: Column | None = None) -> Column:
+    """hash32(str[, seed]) — FNV-1, uint32 (fmhash.c:81-102)."""
+    hx, n = _utf8_bytes(s)
+    seed0 = (
+        F.coalesce(seed, F.lit(0)).cast("long").bitwiseAND(F.lit(_U32))
+        if seed is not None else F.lit(0).cast("long")
+    )
+
+    def step(acc, i):
+        m = (
+            acc + F.shiftleft(acc, 1) + F.shiftleft(acc, 4)
+            + F.shiftleft(acc, 7) + F.shiftleft(acc, 8)
+            + F.shiftleft(acc, 24)
+        ).bitwiseAND(F.lit(_U32))
+        return m.bitwiseXOR(_byte_at(hx, i))
+
+    return F.when(n == 0, seed0).otherwise(
+        F.aggregate(F.sequence(F.lit(0), n - 1), seed0, step)
+    )
+
+
+def rs_hash64(s: Column, seed: Column | None = None) -> Column:
+    """hash64(str[, seed]) — modified Bernstein, uint64 wrap in Java
+    long arithmetic; seed added after the loop (fmhash.c:112-125)."""
+    hx, n = _utf8_bytes(s)
+
+    # ANSI mode forbids wrapping long multiply, so 33*acc runs in
+    # decimal space and wraps back to the signed-long bit pattern via
+    # pmod 2^64 (the C's uint64 overflow semantics)
+    two64 = F.lit(_U64_DEC).cast("decimal(38,0)")
+    two63 = F.lit("9223372036854775808").cast("decimal(38,0)")
+
+    def step(acc, i):
+        b = _byte_at(hx, i)
+        # const char* walk: bytes >= 0x80 sign-extend before the XOR
+        signed = F.when(b >= 128, b - 256).otherwise(b)
+        m = F.pmod(acc.cast("decimal(38,0)") * 33, two64)
+        wrapped = F.when(m >= two63, m - two64).otherwise(m).cast("long")
+        return wrapped.bitwiseXOR(signed)
+
+    h = F.when(n == 0, F.lit(5381).cast("long")).otherwise(
+        F.aggregate(
+            F.sequence(F.lit(0), n - 1), F.lit(5381).cast("long"), step
+        )
+    )
+    if seed is not None:
+        s64 = F.coalesce(seed, F.lit(0)).cast("long").bitwiseAND(
+            F.lit(_U32)
+        )
+        m = F.pmod(h.cast("decimal(38,0)") + s64, two64)
+        h = F.when(m >= two63, m - two64).otherwise(m).cast("long")
+    return h
+
+
+_U64_DEC = "18446744073709551616"
+
+
+def rs_hash_mod(h: Column, mod: Column) -> Column:
+    """hashXXmod: UNSIGNED 64-bit modulo of a hash held in a signed
+    long (negative values first lift by 2^64 in decimal space).
+    mod <= 0 yields 0 (the C would be UB; fail-soft like the
+    parser_warnmsg default-to-0 path)."""
+    m = F.coalesce(mod.cast("long"), F.lit(0))
+    u = F.when(
+        h < 0,
+        h.cast("decimal(21,0)")
+        + F.lit(_U64_DEC).cast("decimal(21,0)"),
+    ).otherwise(h.cast("decimal(21,0)"))
+    return F.when(
+        m > 0, (u % m.cast("decimal(21,0)")).cast("long")
+    ).otherwise(F.lit(0).cast("long"))

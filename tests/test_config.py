@@ -1487,3 +1487,92 @@ class TestJsonfTemplates:
         with pytest.raises(ValueError, match="only modeled for"):
             parse_config('template(name="t" type="string" '
                          'option.jsonf="on" string="x")')
+
+
+class TestFmHash:
+    """fmhash function module (contrib/fmhash) — the non-xxhash build:
+    hash32 = FNV-1/uint32, hash64 = modified-djb/uint64. Goldens are
+    the rscript_hash32/hash64 content-pattern alternatives this build
+    produces."""
+
+    UUID = "0f9a1d07-a8c9-43a7-a6f7-198dca3d932e"
+
+    @pytest.fixture(scope="class")
+    def df(self, spark):
+        return spark.createDataFrame([(1, "x")], "i long, msg string")
+
+    def _vars(self, df, conf):
+        ann, _ = compile_config(df, conf, entry="r")
+        return dict(ann.first()["vars"])
+
+    def test_hash64_golden(self, df):
+        conf = f'''
+        ruleset(name="r") {{
+            set $.h1 = hash64("{self.UUID}");
+            set $.h2 = hash64mod("{self.UUID}", 100);
+        }}
+        '''
+        v = self._vars(df, conf)
+        # rscript_hash64.sh second alternative: -50452361579464591 - 25
+        assert v["h1"] == "-50452361579464591"
+        assert v["h2"] == "25"
+
+    def test_hash32_golden(self, df):
+        conf = f'''
+        ruleset(name="r") {{
+            set $.h1 = hash32("{self.UUID}");
+            set $.h2 = hash32mod("{self.UUID}", 100);
+        }}
+        '''
+        v = self._vars(df, conf)
+        # rscript_hash32.sh first alternative: 746581550 - 50
+        assert v["h1"] == "746581550"
+        assert v["h2"] == "50"
+
+    def test_seed_and_column_input(self, df):
+        conf = '''
+        ruleset(name="r") {
+            set $.a = hash64($msg, 7);
+            set $.b = hash64($msg) + 7;
+            set $.c = hash32("", 123);
+        }
+        '''
+        v = self._vars(df, conf)
+        # djb adds the seed AFTER the loop; fnv over '' returns the seed
+        assert v["a"] == v["b"]
+        assert v["c"] == "123"
+
+    def test_differential_python(self, spark):
+        # byte-walk parity incl. a non-ASCII (sign-extension) case
+        import random as _r
+
+        strs = ["", "a", "hello world", "Grüße-é中", "0" * 64]
+        rows = [(i, s) for i, s in enumerate(strs)]
+        df = spark.createDataFrame(rows, "i long, msg string")
+        conf = '''
+        ruleset(name="r") {
+            set $.h32 = hash32($msg);
+            set $.h64 = hash64($msg);
+        }
+        '''
+        ann, _ = compile_config(df, conf, entry="r")
+        got = {r["i"]: dict(r["vars"]) for r in ann.collect()}
+
+        def py32(s):
+            v = 0
+            for ch in s.encode():
+                v = (v + (v << 1) + (v << 4) + (v << 7) + (v << 8)
+                     + (v << 24)) & 0xFFFFFFFF
+                v ^= ch
+            return v
+
+        def py64(s):
+            h = 5381
+            for ch in s.encode():
+                c = ch - 256 if ch >= 128 else ch
+                h = (33 * h ^ c) & 0xFFFFFFFFFFFFFFFF
+            return h - (1 << 64) if h >= (1 << 63) else h
+
+        for i, s in enumerate(strs):
+            assert got[i]["h32"] == str(py32(s)), (s, got[i])
+            assert got[i]["h64"] == str(py64(s)), (s, got[i])
