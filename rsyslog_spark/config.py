@@ -78,7 +78,7 @@ _TOKEN_RE = re.compile(
     (?P<ws>\s+|\#[^\n]*)
   | (?P<string>"(?:[^"\\]|\\.)*")
   | (?P<number>\d+)
-  | (?P<prop>\$[!./]?[A-Za-z0-9_!\.\-]+)
+  | (?P<prop>\$[!./]?[A-Za-z0-9_!\.\-]+|\$!|\$\.)
   | (?P<name>[A-Za-z_][A-Za-z0-9_\-\.]*)
   | (?P<op><>|==|!=|<=|>=|<|>|=|\{|\}|\(|\)|\[|\]|,|;|~|&|\+|-|\*|/|%)
     """,
@@ -179,8 +179,8 @@ _FUNNAMES = {
     "format_time", "parse_time", "is_time", "parse_json",
     "get_property", "script_error", "exists",
     "previous_action_suspended",
-    # fmhash function module (contrib/fmhash/fmhash.c)
-    "hash32", "hash32mod", "hash64", "hash64mod",
+    # fmhash + fmunflatten function modules (contrib/)
+    "hash32", "hash32mod", "hash64", "hash64mod", "unflatten",
 }
 
 
@@ -527,11 +527,16 @@ class _Parser:
                     )
                 self.expect("=")
                 val, vkind = self.expr_v()
+                # expression side effects (parse_json container write,
+                # unflatten's script_error snapshot) happen DURING
+                # expression evaluation in the reference, i.e. BEFORE
+                # the assignment lands — flush first so their exprs
+                # see the pre-assignment bag
+                self._flush_pre(into)
                 into.append(
                     Set(name, self._vstr(val, vkind),
                         force_reset=(lword == "reset"))
                 )
-                self._flush_pre(into)
                 if self.peek()[1] == ";":
                     self.next()
                 return
@@ -921,6 +926,56 @@ class _Parser:
             self.expect("(")
             self.expect(")")
             return F.lit(1 if self._prev_act_susp else 0), "n"
+        if name == "unflatten":
+            # unflatten($!, sep) (contrib/fmunflatten): the first arg
+            # must be the bare tree root — the raw vars map, not a
+            # rendered value. Errors follow the fixtures: a >1-char
+            # sep or an empty tree -> script_error=1, result number 0
+            # (rscript_unflatten_arg1_unsuitable / _arg2_invalid).
+            self.expect("(")
+            _, ref = self.next()
+            if ref not in ("$!", "$."):
+                raise ValueError(
+                    "unflatten: first argument must be the bare tree "
+                    "root ($!) in this engine (subtree sources are "
+                    "not modeled over the flat bag)"
+                )
+            self.expect(",")
+            kind2, sepv = self.next()
+            if kind2 != "string":
+                raise ValueError(
+                    "unflatten: separator must be a string literal"
+                )
+            sep = _unquote(sepv)
+            self.expect(")")
+            from rsyslog_spark.templates import unflatten_expr
+
+            if len(sep) != 1:
+                self._set_err(F.lit(1))
+                return F.lit(0), "n"
+            res = unflatten_expr(F.col("vars"), sep)
+            # the error channel must reflect the tree AS OF THIS CALL —
+            # a later script_error() re-resolves `vars` lazily at its
+            # own position (keys set in between would flip the verdict),
+            # so the verdict is captured NOW into a hidden var via the
+            # pre-stmt machinery (renders/unflatten exclude __-keys)
+            self._err_n = getattr(self, "_err_n", 0) + 1
+            errkey = f"__unflatten_err{self._err_n}"
+            self._pre_stmts.append(
+                Set(
+                    "$." + errkey,
+                    F.when(res.isNull(), F.lit("1")).otherwise(
+                        F.lit("0")
+                    ),
+                    force_reset=True,
+                )
+            )
+            stored_err = F.coalesce(
+                F.element_at(F.col("vars"), errkey).cast("int"),
+                F.lit(0),
+            )
+            self._set_err(stored_err)
+            return F.coalesce(res, F.lit("0")), "s"
         if name == "exists":
             # exists($!x): property existence, NOT empty-string test
             # (grammar.y:222, msgCheckVarExists msg.h:234)
@@ -1132,6 +1187,11 @@ class _Parser:
         return out
 
     def prop_column(self, ref: str) -> Column:
+        if ref in ("$!", "$."):
+            # bare root reference -> whole-tree json-c render
+            from rsyslog_spark.templates import render_vars_tree
+
+            return render_vars_tree(F.col("vars"))
         if ref.startswith("$!") or ref.startswith("$."):
             key = ref[2:]
             return F.element_at(F.col("vars"), F.lit(key))

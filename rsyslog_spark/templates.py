@@ -21,6 +21,8 @@ from __future__ import annotations
 
 import re
 
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -143,6 +145,10 @@ def resolve_property(name: str) -> Column:
         return F.to_json(F.struct(*[F.col(c) for c in _JSONMESG_COLS]))
     if lname == "uuid":
         return F.expr("uuid()")
+    if name in ("$!", "$."):
+        # bare root: whole-tree json-c render, '' when empty
+        # (tests/rscript_bare_var_root.sh + -empty.sh)
+        return render_vars_tree(F.col("vars"))
     if name.startswith(("$!", "$.")):
         # both the $! message tree and the $. local bag live in the one
         # vars map (SURVEY §1.3) — rsyslog separates their lifetimes,
@@ -562,3 +568,111 @@ def compile_template(spec) -> Column:
 
 def with_template(df: DataFrame, spec: str, out: str = "formatted") -> DataFrame:
     return df.withColumn(out, compile_template(spec))
+
+
+# -- $! tree rendering + fmunflatten ----------------------------------------
+# The flat vars bag renders to the reference's json-c SPACED form
+# ('{ "k": "v" }') by re-nesting '!' flat keys. CAVEAT (SURVEY §1.3):
+# $! and $. share one bag in this engine, so a bare-$! render includes
+# local vars set before it — the reference fixtures exercised here set
+# only $! keys before rendering.
+
+
+def _jsonc_escape(s: str) -> str:
+    return (
+        s.replace("\\", "\\\\").replace('"', '\\"')
+        .replace("\n", "\\n").replace("\r", "\\r").replace("\t", "\\t")
+    )
+
+
+_NUM_RE = re.compile(r"-?[0-9]+$")
+
+
+def _jsonc_render(node) -> str:
+    """json-c JSON_C_TO_STRING_SPACED (the fixtures' '{ "k": v }'
+    form). Digit-run leaves render as bare numbers — the stringly
+    typed bag's analog of the number type the reference tree keeps."""
+    if isinstance(node, dict):
+        if not node:
+            return "{ }"
+        inner = ", ".join(
+            f'"{_jsonc_escape(k)}": {_jsonc_render(v)}'
+            for k, v in node.items()
+        )
+        return "{ " + inner + " }"
+    s = "" if node is None else str(node)
+    if _NUM_RE.fullmatch(s):
+        return s
+    return '"' + _jsonc_escape(s) + '"'
+
+
+def _nest_into(dst: dict, segs: list, value) -> None:
+    """Navigate/create path segs in dst; final node overrides any
+    existing value, an intermediate non-object is replaced by an
+    object (fmunflatten.c's conflict warnings)."""
+    cur = dst
+    for i, sg in enumerate(segs):
+        if i == len(segs) - 1:
+            cur[sg] = value
+        else:
+            nxt = cur.get(sg)
+            if not isinstance(nxt, dict):
+                nxt = {}
+                cur[sg] = nxt
+            cur = nxt
+
+
+def _flat_to_tree(d: dict) -> dict:
+    """'!'-flat bag -> nested tree (insertion order preserved)."""
+    tree: dict = {}
+    for k, v in (d or {}).items():
+        _nest_into(tree, k.split("!"), v)
+    return tree
+
+
+def _unflatten_node(src: dict, sep: str) -> dict:
+    """fmunflatten walk (fmunflatten.c:56-151): every key name splits
+    on sep (segments truncated at 255 chars — the C's 256-byte
+    buffer); object values recurse first."""
+    out: dict = {}
+    for k, v in src.items():
+        v2 = _unflatten_node(v, sep) if isinstance(v, dict) else v
+        segs = [s[:255] for s in k.split(sep)]
+        _nest_into(out, segs, v2)
+    return out
+
+
+def _vis(d: dict | None) -> dict:
+    """Drop engine-internal __-prefixed keys (script_error snapshots)
+    from tree renders."""
+    return {k: v for k, v in (d or {}).items() if not k.startswith("__")}
+
+
+def render_vars_tree(vars_col: Column) -> Column:
+    """Bare `%$!%` / `$!` — whole-tree json-c render; empty tree -> ''
+    (tests/rscript_bare_var_root.sh + -empty.sh goldens)."""
+
+    def _render(maps: pd.Series) -> pd.Series:
+        return maps.map(
+            lambda d: _jsonc_render(_flat_to_tree(_vis(d)))
+            if _vis(d) else ""
+        )
+
+    return F.pandas_udf(_render, "string")(vars_col)
+
+
+def unflatten_expr(vars_col: Column, sep: str) -> Column:
+    """unflatten($!, sep) (contrib/fmunflatten): re-nest the tree,
+    then split every key name on the 1-char separator. Returns NULL
+    for an empty bag (arg1 'unsuitable' — the caller maps that to
+    script_error=1 and the number-0 result the fixtures pin)."""
+
+    def _unf(maps: pd.Series) -> pd.Series:
+        return maps.map(
+            lambda d: _jsonc_render(
+                _unflatten_node(_flat_to_tree(_vis(d)), sep)
+            )
+            if _vis(d) else None
+        )
+
+    return F.pandas_udf(_unf, "string")(vars_col)

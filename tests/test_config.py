@@ -1576,3 +1576,127 @@ class TestFmHash:
         for i, s in enumerate(strs):
             assert got[i]["h32"] == str(py32(s)), (s, got[i])
             assert got[i]["h64"] == str(py64(s)), (s, got[i])
+
+
+class TestUnflattenAndBareRoot:
+    """contrib/fmunflatten unflatten() + bare %$!% root rendering —
+    goldens from tests/rscript_unflatten_*.sh and
+    rscript_bare_var_root*.sh. (The engine's shared $!/$. bag means
+    only fixtures that set no local vars before the call apply —
+    SURVEY §1.3's documented namespace simplification.)"""
+
+    @pytest.fixture(scope="class")
+    def df(self, spark):
+        return spark.createDataFrame(
+            [(1, " msgnum:00000000:")], "i long, msg string"
+        )
+
+    TPL = 'template(name="outfmt" type="string" string="%msg% %$.ret% %$.unflatten%")'
+
+    def _line(self, df, body):
+        conf = f'''
+        {self.TPL}
+        ruleset(name="r") {{
+            {body}
+            action(type="omfile" file="/o.log" template="outfmt")
+        }}
+        '''
+        ann, actions = compile_config(df, conf, entry="r")
+        a = actions[0]
+        return a.output(ann).select(F.col(a.out_col).alias("x")).first()["x"]
+
+    def test_object_golden(self, df):
+        # rscript_unflatten_object.sh cmp_exact line
+        body = '''
+            set $!source.ip = "1.2.3.4";
+            set $!source.bytes = 3258;
+            set $!source.geo.country_iso_code = "FR";
+            set $!destination.ip = "4.3.2.1";
+            set $.unflatten = unflatten($!, ".");
+            set $.ret = script_error();
+        '''
+        assert self._line(df, body) == (
+            ' msgnum:00000000: 0 { "source": { "ip": "1.2.3.4", '
+            '"bytes": 3258, "geo": { "country_iso_code": "FR" } }, '
+            '"destination": { "ip": "4.3.2.1" } }'
+        )
+
+    def test_conflict1_golden(self, df):
+        # a string node overridden by a deeper object
+        body = '''
+            set $!a!b = "foo";
+            set $!a.b.c = "bar";
+            set $.unflatten = unflatten($!, ".");
+            set $.ret = script_error();
+        '''
+        assert self._line(df, body) == (
+            ' msgnum:00000000: 0 { "a": { "b": { "c": "bar" } } }'
+        )
+
+    def test_conflict3_golden(self, df):
+        # a final node overriding an existing value
+        body = '''
+            set $!a!b = "foo";
+            set $!a.b = "bar";
+            set $.unflatten = unflatten($!, ".");
+            set $.ret = script_error();
+        '''
+        assert self._line(df, body) == (
+            ' msgnum:00000000: 0 { "a": { "b": "bar" } }'
+        )
+
+    def test_key_truncated_golden(self, df):
+        long_seg = "b" * 254 + "255ccccc"
+        body = f'''
+            set $!a.{long_seg}.d = "bar";
+            set $.unflatten = unflatten($!, ".");
+            set $.ret = script_error();
+        '''
+        # segment truncated at 255 chars: 254 b's + '2' survives
+        assert self._line(df, body) == (
+            ' msgnum:00000000: 0 { "a": { "' + "b" * 254 + '2": '
+            '{ "d": "bar" } } }'
+        )
+
+    def test_arg_errors(self, df):
+        # empty tree -> ret 1, result number 0
+        body = '''
+            set $.unflatten = unflatten($!, ".");
+            set $.ret = script_error();
+        '''
+        assert self._line(df, body) == " msgnum:00000000: 1 0"
+        # bad separator -> ret 1, result number 0
+        body2 = '''
+            set $!a.b.c = "foobar";
+            set $.unflatten = unflatten($!, "too many chars");
+            set $.ret = script_error();
+        '''
+        assert self._line(df, body2) == " msgnum:00000000: 1 0"
+
+    def test_bare_root_render(self, df):
+        # rscript_bare_var_root.sh + -empty.sh
+        conf = '''
+        template(name="t" type="string" string="empty-%$!%-")
+        ruleset(name="r") { action(type="omfile" file="/o.log" template="t") }
+        '''
+        ann, actions = compile_config(df, conf, entry="r")
+        a = actions[0]
+        assert a.output(ann).select(
+            F.col(a.out_col).alias("x")
+        ).first()["x"] == "empty--"
+        # (the reference fixture's `set $! = $.` whole-tree assignment
+        # has no analog over the shared bag — the RENDER form is what
+        # this pins; reset = the overwrite path)
+        conf2 = '''
+        template(name="t" type="string" string="%$!%")
+        ruleset(name="r") {
+            set $!a = "TEST";
+            reset $!a = "TEST-overwritten";
+            action(type="omfile" file="/o.log" template="t")
+        }
+        '''
+        ann2, actions2 = compile_config(df, conf2, entry="r")
+        a2 = actions2[0]
+        assert a2.output(ann2).select(
+            F.col(a2.out_col).alias("x")
+        ).first()["x"] == '{ "a": "TEST-overwritten" }'
