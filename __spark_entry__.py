@@ -380,7 +380,8 @@ def q_template_options(spark, sf_dir):
         compile_template("%msg:F,58:2%").alias("f2"),
         compile_template("%msg:2:8:uppercase%").alias("sub"),
         compile_template("%hostname:::csv%").alias("hostcsv"),
-        compile_template("%msg:R,ere,0,1,x:msgnum.([0-9]+)%").alias("rex"),
+        # reference subfield order: R,<type>,<submatch>,<nomatch>,<match>
+        compile_template("%msg:R,ERE,1,DFLT,0:msgnum.([0-9]+)%").alias("rex"),
         compile_template("%msg:::compressspace,json%").alias("jmsg"),
     )
 

@@ -326,16 +326,31 @@ def _apply_options(
         col = F.coalesce(F.get(parts, n - 1), F.lit("**FIELD NOT FOUND**"))
     # stage 2: regex %prop:R,<regex>...% (msg.c:3990)
     elif from_pos.startswith("R"):
-        # R,<flavor>,<match>,<submatch>,<nomatchact>:regex given in to_pos
+        # R,<flavor>,<submatch>,<nomatchact>,<match>:regex in to_pos —
+        # the reference's subfield ORDER (template.c:845-930: type,
+        # then submatch digit, then nomatch word, then match digit).
+        # Flavor is accepted case-insensitively (the reference is
+        # uppercase-strict with a LogError); match>0 (use the N-th
+        # occurrence) is not modeled and rejected loudly.
         parts = from_pos.split(",")
-        flavor = parts[1] if len(parts) > 1 else "ERE"
-        submatch = int(parts[3]) if len(parts) > 3 and parts[3].isdigit() else 0
-        nomatch = parts[4] if len(parts) > 4 and parts[4] else "DFLT"
+        flavor = (parts[1] or "ERE").upper() if len(parts) > 1 else "ERE"
+        submatch = int(parts[2]) if len(parts) > 2 and parts[2].isdigit() else 0
+        nomatch = parts[3] if len(parts) > 3 and parts[3] else "DFLT"
+        if len(parts) > 4 and parts[4].isdigit() and int(parts[4]) > 0:
+            raise ValueError(
+                "template regex match-ID > 0 (N-th occurrence) is not "
+                "modeled; restructure the pattern"
+            )
         rx = to_pos
         if flavor == "BRE":
             from rsyslog_spark.filters import bre_to_java
 
             rx = bre_to_java(rx)
+        elif flavor != "ERE":
+            raise ValueError(
+                f"invalid regular expression type {flavor!r} "
+                "(template.c:850-860: BRE/ERE)"
+            )
         # regex.NomatchMode (template.c:1569-1585): DFLT -> the msg.c
         # "**NO MATCH**" marker, BLANK -> '', ZERO -> '0', FIELD ->
         # the whole unprocessed field
@@ -464,9 +479,9 @@ def _compile_list_property(p: dict, extra_opts: list | None = None) -> Column:
         from_pos = ",".join([
             "R",
             str(p.get("regex.type", "ERE")),
-            str(p.get("regex.match", "0")),
             str(p.get("regex.submatch", "0")),
             str(p.get("regex.nomatchmode", "DFLT")),
+            str(p.get("regex.match", "0")),
         ])
         if str(p.get("regex.type", "ERE")) not in ("ERE", "BRE"):
             raise ValueError(
