@@ -149,6 +149,10 @@ def resolve_property(name: str) -> Column:
         # bare root: whole-tree json-c render, '' when empty
         # (tests/rscript_bare_var_root.sh + -empty.sh)
         return render_vars_tree(F.col("vars"))
+    if name.startswith("!") and len(name) > 1:
+        # %!x% — subtree render in the json-c spaced form
+        # (tests/rscript_substring.sh golden '{ "var1": "", ... }')
+        return render_vars_tree(F.col("vars"), prefix=name[1:] + "!")
     if name.startswith(("$!", "$.")):
         # both the $! message tree and the $. local bag live in the one
         # vars map (SURVEY §1.3) — rsyslog separates their lifetimes,
@@ -663,14 +667,23 @@ def _vis(d: dict | None) -> dict:
     return {k: v for k, v in (d or {}).items() if not k.startswith("__")}
 
 
-def render_vars_tree(vars_col: Column) -> Column:
-    """Bare `%$!%` / `$!` — whole-tree json-c render; empty tree -> ''
-    (tests/rscript_bare_var_root.sh + -empty.sh goldens)."""
+def render_vars_tree(vars_col: Column, prefix: str = "") -> Column:
+    """Bare `%$!%` / `$!` (or a `%!x%` subtree via ``prefix``='x!') —
+    json-c spaced render of the re-nested tree; empty tree -> ''
+    (tests/rscript_bare_var_root.sh + -empty.sh, rscript_substring.sh
+    goldens)."""
+
+    def _pick(d: dict) -> dict:
+        d = _vis(d)
+        if not prefix:
+            return d
+        n = len(prefix)
+        return {k[n:]: v for k, v in d.items() if k.startswith(prefix)}
 
     def _render(maps: pd.Series) -> pd.Series:
         return maps.map(
-            lambda d: _jsonc_render(_flat_to_tree(_vis(d)))
-            if _vis(d) else ""
+            lambda d: _jsonc_render(_flat_to_tree(_pick(d)))
+            if _pick(d) else ""
         )
 
     return F.pandas_udf(_render, "string")(vars_col)

@@ -1700,3 +1700,31 @@ class TestUnflattenAndBareRoot:
         assert a2.output(ann2).select(
             F.col(a2.out_col).alias("x")
         ).first()["x"] == '{ "a": "TEST-overwritten" }'
+
+
+class TestSubstringAndSubtreeGolden:
+    def test_rscript_substring_golden(self, spark):
+        # tests/rscript_substring.sh: substring edges + the %!str%
+        # subtree render, byte-exact
+        df = spark.createDataFrame([(1, "x")], "i long, msg string")
+        conf = '''
+        template(name="outfmt" type="string" string="%!str%")
+        ruleset(name="r") {
+            set $!str!var1 = substring("", 0, 0);
+            set $!str!var2 = substring("test", 0, 4);
+            set $!str!var3 = substring("test", 1, 2);
+            set $!str!var4 = substring("test", 4, 2);
+            set $!str!var5 = substring("test", 0, 5);
+            set $!str!var6 = substring("test", 0, 6);
+            set $!str!var7 = substring("test", 3, 4);
+            set $!str!var8 = substring("test", 1, 0);
+            action(type="omfile" file="/o.log" template="outfmt")
+        }
+        '''
+        ann, actions = compile_config(df, conf, entry="r")
+        a = actions[0]
+        line = a.output(ann).select(F.col(a.out_col).alias("x")).first()["x"]
+        assert line == (
+            '{ "var1": "", "var2": "test", "var3": "es", "var4": "", '
+            '"var5": "test", "var6": "test", "var7": "t", "var8": "" }'
+        )
