@@ -1,9 +1,14 @@
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
 
-Prints ONE JSON line:
+Prints ONE COMPACT JSON line (the driver's machine-readable channel —
+its tail window is ~2000 chars, and round 4's full-detail line outgrew
+it, shipping `parsed: null`; r5 contract: stdout carries only the
+compact headline, full raw-trial detail goes to the sidecar file named
+in its `detail_file` key):
   {"metric": ..., "value": <total sec>, "unit": "sec",
    "queries": {name: sec, ...}, "sf": ..., "rows": ...,
-   "throughput_rows_per_sec": ...}
+   "throughput_rows_per_sec": ..., "steady_state": {...},
+   "scaling": {"pairs": ..., "efficiency": ...}, "detail_file": ...}
 
 Optional scaling evidence (north rule: >=0.8 efficiency from N to 4N):
   SPARK_GRAFT_SCALING="8,32" python bench.py
@@ -507,6 +512,28 @@ def main():
                 done += 1
                 res, pairs, inverted = _summary()
                 headline = pairs.get(f"{levels[0]}->{levels[1]}")
+            # r5 (r4 verdict #2): extend the quiet-window retry to ANY
+            # inverted adjacent pair, not just the headline — r4 shipped
+            # `inversion_detected: true` on the 8->32 saturation levels
+            # while a clean rerun cleared it. Re-run only the levels
+            # participating in an inverted pair, inside a quiet window;
+            # a GENUINE inversion reproduces and the flag stays.
+            inv_budget = int(
+                os.environ.get("SPARK_GRAFT_INVERSION_RETRIES", "2")
+            )
+            while inverted and inv_budget > 0:
+                bad = sorted({
+                    c
+                    for lo, hi in zip(levels, levels[1:])
+                    if res[hi]["sec"] > res[lo]["sec"]
+                    for c in (lo, hi)
+                })
+                _wait_quiet(180.0)
+                _round(only_levels=bad)
+                done += 1
+                inv_budget -= 1
+                res, pairs, inverted = _summary()
+                headline = pairs.get(f"{levels[0]}->{levels[1]}")
             out["scaling"] = {
                 "method": "materialized transcript table (stored-table "
                           "production shape), isolated process per level, "
@@ -531,7 +558,70 @@ def main():
         except Exception as ex:  # never fail the bench line on scaling
             out["scaling"] = {"error": str(ex)[:200]}
 
-    print(json.dumps(out))
+    emit(out)
+
+
+def emit(out: dict):
+    """Write full detail to a sidecar file; print ONE compact line.
+
+    The driver captures only the last ~2000 chars of stdout — round 4's
+    full-detail line outgrew that window and the round's machine-
+    readable bench block shipped as `parsed: null`. The compact line
+    carries every headline number (totals, per-query best, steady-state
+    rows/s, scaling pairs + efficiency); raw per-trial seconds,
+    protocol prose and per-round loadavg live in the sidecar."""
+    root = os.path.dirname(os.path.abspath(__file__))
+    detail_file = os.path.join(root, "BENCH_DETAIL.json")
+    try:
+        with open(detail_file, "w") as f:
+            json.dump(out, f, indent=1)
+    except OSError:
+        detail_file = None
+
+    compact = {
+        "metric": out["metric"],
+        "value": out["value"],
+        "unit": out["unit"],
+        "queries": out["queries"],
+        "sf": out["sf"],
+        "rows": out["rows"],
+        "cpus": out["cpus"],
+        "throughput_rows_per_sec": out["throughput_rows_per_sec"],
+    }
+    for key in ("steady_state", "steady_state_10m"):
+        blk = out.get(key)
+        if isinstance(blk, dict):
+            compact[key] = {
+                k: blk[k]
+                for k in ("rows", "sec", "rows_per_sec", "error")
+                if k in blk
+            }
+    sc = out.get("scaling")
+    if isinstance(sc, dict):
+        if "error" in sc:
+            compact["scaling"] = {"error": sc["error"]}
+        else:
+            compact["scaling"] = {
+                "rows": sc.get("rows"),
+                "levels_sec": {
+                    c: v["sec"] for c, v in sc.get("levels", {}).items()
+                },
+                "pairs": sc.get("pairs"),
+                "efficiency": sc.get("efficiency"),
+                "inversion_detected": sc.get("inversion_detected"),
+                "rounds": sc.get("rounds"),
+            }
+    if detail_file:
+        compact["detail_file"] = detail_file
+    line = json.dumps(compact, separators=(",", ":"))
+    # hard backstop: the line must fit the driver's tail window even if
+    # a future field balloons — drop the least essential blocks first
+    for drop in ("steady_state_10m", "queries", "scaling"):
+        if len(line) <= 1800:
+            break
+        compact.pop(drop, None)
+        line = json.dumps(compact, separators=(",", ":"))
+    print(line)
 
 
 if __name__ == "__main__":
