@@ -414,6 +414,37 @@ def q_mm_rewrite(spark, sf_dir):
             F.coalesce(F.col("msg"), F.lit("")), mods.parse_rulebase(rb)
         ),
     )
+    # r5 facets: mmaudit / mmtaghostname / mmrfc5424addhmac through the
+    # real module code paths.
+    # mmaudit: synthesized audit lines (i%5!=0) through the byte-exact
+    # walk — auditid reproduces the sizeof(" audit(") first-char-drop
+    # quirk; i%5==0 rows are non-audit and must yield NULL facets
+    i_s = F.col("i").cast("string")
+    norm = norm.withColumn(
+        "audit_line",
+        F.when(
+            F.col("i") % 5 != 0,
+            F.concat(
+                F.lit("type="), (F.col("i") % 3).cast("string"),
+                F.lit(" audit("), i_s, F.lit(".5:7): seq="), i_s,
+                F.lit(' op="x y"'),
+            ),
+        ).otherwise(F.lit("not an audit line")),
+    )
+    norm = mods.mm_audit(norm, msg_col="audit_line", vars_col="auditvars")
+    # mmtaghostname: tag= replaces the TAG wholesale (programname
+    # re-derived, stops at '['), forcelocalhostname pins hostname
+    norm = mods.mm_taghostname(
+        norm, tag="relay[7]:x", force_localhostname=True,
+        localhostname="frontAPP",
+    )
+    # mmrfc5424addhmac: RFC5424 rows get [hm@1 hash="<hmac>"] appended
+    # to their SD; the digest is masked to 'H' for the oracle (DuckDB
+    # has no binary sha256 to build an HMAC from — byte-exact digest
+    # goldens live in tests/test_mm_modules.py)
+    norm = mods.mm_rfc5424addhmac(
+        norm, key="s3cr3t", hashfunction="sha256", sd_id="hm@1"
+    )
     anon_in = norm.withColumn(
         "msg",
         F.concat(
@@ -431,6 +462,16 @@ def q_mm_rewrite(spark, sf_dir):
         F.element_at("rbmap", "num").alias("rb_num"),
         F.element_at("rbmap", "w1").alias("rb_w1"),
         F.element_at("rbmap", "src").alias("rb_src"),
+        F.element_at("auditvars", "audit!hdr!auditid").alias("au_id"),
+        F.element_at("auditvars", "audit!hdr!type").alias("au_type"),
+        F.element_at("auditvars", "audit!data!seq").alias("au_seq"),
+        F.element_at("auditvars", "audit!data!op").alias("au_op"),
+        F.col("syslogtag").alias("th_tag"),
+        F.col("programname").alias("th_prog"),
+        F.col("hostname").alias("th_host"),
+        F.regexp_replace(
+            F.col("structured_data"), "[0-9a-f]{64}", "H"
+        ).alias("hm_shape"),
     )
 
 
@@ -1627,7 +1668,23 @@ def oracle_sql() -> dict[str, str]:
         f"CASE WHEN regexp_matches(msg, {_rb_rx}) "
         f"THEN regexp_extract(msg, {_rb_rx}, 2) END AS rb_w1, "
         f"CASE WHEN regexp_matches(msg, {_rb_rx}) "
-        "THEN 'rb' END AS rb_src "
+        "THEN 'rb' END AS rb_src, "
+        # mmaudit facets: closed-form audit line; auditid drops its
+        # first char (the C's sizeof(" audit(") off-by-one)
+        "CASE WHEN i % 5 <> 0 "
+        "THEN substr(CAST(i AS VARCHAR) || '.5:7', 2) END AS au_id, "
+        "CASE WHEN i % 5 <> 0 THEN CAST(i % 3 AS VARCHAR) END AS au_type, "
+        "CASE WHEN i % 5 <> 0 THEN CAST(i AS VARCHAR) END AS au_seq, "
+        "CASE WHEN i % 5 <> 0 THEN 'x y' END AS au_op, "
+        # mmtaghostname facets: tag replace + programname re-derivation
+        # (stops at '[') + forced localhostname
+        "'relay[7]:x' AS th_tag, 'relay' AS th_prog, "
+        "'frontAPP' AS th_host, "
+        # mmrfc5424addhmac facet: digest masked to 'H' (no binary
+        # sha256 in DuckDB; byte-exact digests in pytest)
+        "CASE WHEN protocol_version = 1 THEN "
+        "'[exampleSDID@32473 k=\"v\"][hm@1 hash=\"H\"]' "
+        "ELSE structured_data END AS hm_shape "
         "FROM p WHERE parse_success"
     )
     # --- dataops oracles ---------------------------------------------------

@@ -55,6 +55,8 @@ from rsyslog_spark.coerce import rs_div, rs_is_number, rs_mod, rs_to_number, rs_
 from rsyslog_spark.filters import prifilt_predicate, propfilt_predicate
 from rsyslog_spark.route import (
     Action,
+    AddHmac,
+    Audit,
     Call,
     CallIndirect,
     Foreach,
@@ -64,6 +66,7 @@ from rsyslog_spark.route import (
     Ruleset,
     Set,
     Stop,
+    TagHostname,
     Unset,
 )
 from rsyslog_spark.templates import BUILTIN_TEMPLATES, compile_template, resolve_property
@@ -141,7 +144,16 @@ class ParsedConfig:
     suspended: set = field(default_factory=set)
 
     def compiler(self) -> RouteCompiler:
-        rc = RouteCompiler(suspended_sinks=self.suspended)
+        # global(localhostname=...) feeds mmtaghostname's forced
+        # hostname (tests/mmtaghostname_server.sh); deterministic
+        # "localhost" default
+        lh = "localhost"
+        for kind, params in self.globals:
+            if kind == "global" and "localhostname" in params:
+                lh = params["localhostname"]
+        rc = RouteCompiler(
+            suspended_sinks=self.suspended, localhostname=lh
+        )
         for rs in self.rulesets.values():
             rc.add(rs)
         if self.main:
@@ -582,6 +594,43 @@ class _Parser:
             return Stop()
         if typ == "mmnormalize":
             return self._mmnormalize_action(p)
+        if typ == "mmtaghostname":
+            # contrib/mmtaghostname param block (:68-71): tag (string),
+            # forcelocalhostname (binary)
+            return TagHostname(
+                tag=p.get("tag"),
+                force_localhostname=p.get("forcelocalhostname", "off")
+                == "on",
+            )
+        if typ == "mmaudit":
+            # plugins/mmaudit: no instance parameters (instanceData is
+            # a dummy, mmaudit.c:65-67)
+            return Audit()
+        if typ == "mmrfc5424addhmac":
+            # all three params are mandatory (eCmdHdlrString flag 1,
+            # mmrfc5424addhmac.c:95-99)
+            missing = [
+                k for k in ("key", "hashfunction", "sd_id") if k not in p
+            ]
+            if missing:
+                raise ValueError(
+                    "mmrfc5424addhmac: mandatory parameter(s) "
+                    f"{missing} not specified "
+                    "(mmrfc5424addhmac.c:95-99 param block)"
+                )
+            import hashlib as _hashlib
+
+            if not hasattr(_hashlib, p["hashfunction"].lower()):
+                raise ValueError(
+                    f"mmrfc5424addhmac: hash function "
+                    f"{p['hashfunction']!r} unknown "
+                    "(mmrfc5424addhmac.c:184-189)"
+                )
+            return AddHmac(
+                key=p["key"],
+                hashfunction=p["hashfunction"],
+                sd_id=p["sd_id"],
+            )
         if typ != "omfile":
             raise ValueError(f"unsupported action type {typ!r}")
         path = p.get("file") or p.get("dynafile") or p.get("dynfile")

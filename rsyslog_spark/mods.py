@@ -617,3 +617,270 @@ def load_rulebase_text(rule, rb_file, modname: str, cite: str) -> str:
             f"{modname}: normalization rulebase {rb_file!r} could not "
             f"be loaded, cannot activate ({cite}): {e}"
         ) from e
+
+
+# ---------------------------------------------------------------------------
+# mmtaghostname (contrib/mmtaghostname/mmtaghostname.c)
+# ---------------------------------------------------------------------------
+
+
+def mm_taghostname(
+    df: DataFrame,
+    tag: str | None = None,
+    force_localhostname: bool = False,
+    localhostname: str = "localhost",
+) -> DataFrame:
+    """Retag / re-hostname a message (contrib/mmtaghostname/
+    mmtaghostname.c:160-178 doAction).
+
+    - ``tag=``: MsgSetTAG — the syslogtag is REPLACED wholesale (the
+      reference test renders ``tag: source-imtcp`` with no bracket
+      append, tests/mmtaghostname_tag.sh). programname is re-derived
+      from the new TAG (the reference invalidates the cached
+      programname; ours is an eager column).
+    - ``forcelocalhostname="on"``: MsgSetHOSTNAME to the daemon's local
+      host name — ``global(localhostname=...)`` in config text
+      (tests/mmtaghostname_server.sh), deterministic "localhost" when
+      unset (a machine hostname would break golden tests).
+
+    Pure column expressions, no UDF.
+    """
+    from rsyslog_spark.parse.chain import _PROGNAME_RE
+
+    if tag is not None:
+        df = df.withColumn("syslogtag", F.lit(tag))
+        if "programname" in df.columns:
+            df = df.withColumn(
+                "programname",
+                F.regexp_extract(F.col("syslogtag"), _PROGNAME_RE, 1),
+            )
+    if force_localhostname:
+        df = df.withColumn("hostname", F.lit(localhostname))
+    return df
+
+
+# ---------------------------------------------------------------------------
+# mmaudit (plugins/mmaudit/mmaudit.c)
+# ---------------------------------------------------------------------------
+
+
+def audit_record_fields(s: str | None) -> dict | None:
+    """Byte-exact Linux-audit record walk (mmaudit.c:203-268 doAction +
+    :120-199 parseName/parseValue/audit_parse). Returns the flattened
+    ``$!audit`` tree ({'audit!hdr!auditid': .., 'audit!hdr!type': ..,
+    'audit!data!<name>': ..}) or None when the line is not detected as
+    an audit record (bSuccess stays 0).
+
+    Reference quirks kept bug-for-bug:
+
+    - ``buf += sizeof(" audit(")`` (:241) skips the NUL too, so the
+      FIRST character of the audit id is dropped ("1234.56:78" records
+      as "234.56:78");
+    - parseValue (:137-165) stops AT a closing quote without consuming
+      it, so a quoted value followed by more pairs leaks the quote and
+      separator into the NEXT name (``msg='a' pid=1`` yields data keys
+      {"msg": "a", "' pid": "1"});
+    - audit_parse's error return is IGNORED by doAction (:251-256 —
+      only the NULL check runs), so a trailing quote / missing '='
+      commits the pairs parsed so far and still reports success;
+    - name/value buffers cap at 1023 chars (sizeof name/val - 1).
+    """
+    if s is None:
+        return None
+    i, n = 0, len(s)
+    while i < n and s[i] in " \t\n\v\f\r":
+        i += 1
+    if not s.startswith("type=", i):
+        return None
+    i += 5
+    type_id = 0
+    while i < n and s[i].isdigit():
+        type_id = type_id * 10 + ord(s[i]) - 48
+        i += 1
+    if not s.startswith(" audit(", i):
+        return None
+    i += len(" audit(") + 1  # sizeof() quirk: first id char dropped
+    j = i
+    while j < n and s[j] != ")" and j - i < 1022:
+        j += 1
+    audit_id = s[i:j]
+    if j >= n or s[j] != ")" or j + 1 >= n or s[j + 1] != ":":
+        return None
+    i = j + 2
+    data: dict[str, str] = {}
+    while i < n:
+        # parseName: skip whitespace, read until '=' (cap 1023)
+        while i < n and s[i] in " \t\n\v\f\r":
+            i += 1
+        j = i
+        while j < n and s[j] != "=" and j - i < 1023:
+            j += 1
+        name = s[i:j]
+        i = j
+        if i >= n or s[i] != "=":
+            break  # audit_parse error — swallowed, partial commit
+        i += 1
+        # parseValue: quote-aware, terminator NOT consumed
+        if i < n and s[i] in "'\"":
+            termc = s[i]
+            i += 1
+        else:
+            termc = " "
+        j = i
+        while j < n and s[j] != termc and j - i < 1023:
+            j += 1
+        data[name] = s[i:j]
+        i = j
+    out = {"audit!hdr!auditid": audit_id, "audit!hdr!type": str(type_id)}
+    for k, v in data.items():
+        out["audit!data!" + k] = v
+    return out
+
+
+def mm_audit(
+    df: DataFrame,
+    msg_col: str = "msg",
+    vars_col: str = "vars",
+) -> DataFrame:
+    """Detect Linux audit records in MSG and parse them into the
+    ``$!audit`` subtree (plugins/mmaudit/mmaudit.c, 344 LoC).
+
+    On detection the subtree is merged into the vars bag (msgAddJSON
+    "!audit", :268) and parse_success is set; a non-audit line leaves
+    vars untouched and parse_success false (MsgSetParseSuccess with
+    bSuccess 0/1, :272). The ``hdr.type`` int renders as its decimal
+    string — engine-wide map<string,string> coercion convention.
+
+    Arrow-batched pandas UDF: the walk is a stateful per-char scan with
+    quote rules the reference itself runs per message; no column-
+    expression form reproduces its quirks.
+    """
+    from pyspark.sql.types import MapType, StringType
+
+    @F.pandas_udf(MapType(StringType(), StringType()))
+    def _walk(texts: pd.Series) -> pd.Series:
+        return texts.map(audit_record_fields)
+
+    hit = f"_audit_{msg_col}"
+    df = df.withColumn(hit, _walk(F.col(msg_col)))
+    got = F.col(hit).isNotNull()
+    if vars_col not in df.columns:
+        df = df.withColumn(
+            vars_col, F.create_map().cast("map<string,string>")
+        )
+    cur = F.col(vars_col)
+    merged = F.map_concat(
+        F.map_filter(
+            cur, lambda k, _: ~F.array_contains(F.map_keys(F.col(hit)), k)
+        ),
+        F.col(hit),
+    )
+    df = df.withColumn(vars_col, F.when(got, merged).otherwise(cur))
+    # MsgSetParseSuccess(pMsg, bSuccess) runs on EVERY message the
+    # action sees (:272) — unconditional overwrite, 0 and 1 alike
+    df = df.withColumn("parse_success", got)
+    return df.drop(hit)
+
+
+# ---------------------------------------------------------------------------
+# mmrfc5424addhmac (contrib/mmrfc5424addhmac/mmrfc5424addhmac.c)
+# ---------------------------------------------------------------------------
+
+
+def hmac_sd_element(
+    rawmsg: str | None,
+    structured_data: str | None,
+    key: bytes,
+    algo: str,
+    sd_id: str,
+) -> str | None:
+    """One message's new STRUCTURED-DATA, or None for keep-as-is.
+
+    mmrfc5424addhmac.c doAction (:337-354): only RFC5424 messages
+    without "our" SD-ID get hashed — the caller gates on
+    protocol_version; the presence walk here is getSDID/skipSDID
+    (:225-279): an SD-ID token ends at '=' / ' ' / ']' / '"', ']' is
+    escapable with backslash. hashMsg (:317-334): HMAC(algo, key) over
+    the RAW message, lowercase hex, appended as ``[<sd_id>
+    hash="<hex>"]`` — MsgAddToStructuredData (runtime/msg.c:5205-5224)
+    REPLACES an empty/"-" SD and string-appends otherwise (no
+    separator).
+    """
+    import hashlib as _hashlib
+    import hmac as _hmac
+
+    sd = structured_data if structured_data is not None else "-"
+    # isHmacPresent walk
+    if sd[:1] != "-":
+        i, n = 0, len(sd)
+        while i < n:
+            # getSDID
+            if sd[i] != "[":
+                i += 1
+                token = ""
+            else:
+                i += 1
+                j = i
+                while j < n and sd[j] not in '= ]"':
+                    j += 1
+                token = sd[i:j]
+                i = j
+            if token == sd_id:
+                return None  # already present: untouched
+            # skipSDID: to just past the next unescaped ']'
+            while i < n:
+                if sd[i] == "]" and not (i > 0 and sd[i - 1] == "\\"):
+                    i += 1
+                    break
+                i += 1
+    digest = _hmac.new(
+        key, (rawmsg or "").encode("utf-8"), getattr(_hashlib, algo)
+    ).hexdigest()
+    newsd = f'[{sd_id} hash="{digest}"]'
+    if structured_data is None or structured_data[:1] == "-":
+        return newsd
+    return structured_data + newsd
+
+
+def mm_rfc5424addhmac(
+    df: DataFrame,
+    key: str,
+    hashfunction: str = "sha256",
+    sd_id: str = "hmac@0",
+    rawmsg_col: str = "rawmsg",
+    sd_col: str = "structured_data",
+) -> DataFrame:
+    """Append an HMAC-of-rawmsg SD element to RFC5424 messages
+    (contrib/mmrfc5424addhmac/mmrfc5424addhmac.c, 382 LoC).
+
+    Non-RFC5424 rows (protocol_version != 1) and rows already carrying
+    ``sd_id`` pass through untouched (doAction gate :344-346). The
+    digest name follows hashlib (sha1/sha256/sha512/md5... — the
+    EVP_get_digestbyname surface); unknown names raise at plan build,
+    the module's config-time abort.
+    """
+    import hashlib as _hashlib
+
+    algo = hashfunction.lower()
+    if not hasattr(_hashlib, algo):
+        raise ValueError(
+            f"mmrfc5424addhmac: hash function {hashfunction!r} unknown "
+            "(mmrfc5424addhmac.c:184-189 EVP_get_digestbyname check)"
+        )
+    kb = key.encode("utf-8")
+
+    @F.pandas_udf("string")
+    def _hm(raw: pd.Series, sd: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                hmac_sd_element(r, s, kb, algo, sd_id)
+                for r, s in zip(raw, sd)
+            ]
+        )
+
+    is5424 = F.col("protocol_version") == 1
+    new_sd = _hm(F.col(rawmsg_col), F.col(sd_col))
+    return df.withColumn(
+        sd_col,
+        F.when(is5424 & new_sd.isNotNull(), new_sd).otherwise(F.col(sd_col)),
+    )

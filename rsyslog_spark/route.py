@@ -144,6 +144,34 @@ class Normalize:
 
 
 @dataclass
+class TagHostname:
+    """action(type="mmtaghostname"): replace TAG and/or force the
+    hostname to the daemon's localhostname (contrib/mmtaghostname/
+    mmtaghostname.c:160-178 doAction; the localhostname value comes
+    from ``global(localhostname=...)`` at compile)."""
+    tag: str | None = None
+    force_localhostname: bool = False
+
+
+@dataclass
+class Audit:
+    """action(type="mmaudit"): detect a Linux audit record in MSG and
+    graft the parsed name=value pairs into ``$!audit``
+    (plugins/mmaudit/mmaudit.c:203-272 doAction); parse_success is set
+    0/1 on every message the action sees."""
+
+
+@dataclass
+class AddHmac:
+    """action(type="mmrfc5424addhmac"): HMAC the raw message and append
+    it as an SD element to RFC5424 messages (contrib/mmrfc5424addhmac/
+    mmrfc5424addhmac.c:337-354 doAction gate + :317-334 hashMsg)."""
+    key: str
+    hashfunction: str
+    sd_id: str
+
+
+@dataclass
 class Call:
     ruleset: str
     queued: bool = False
@@ -208,6 +236,11 @@ class CompiledAction:
     vars_snapshot: str | None = None
     vars_col: str = "vars"
     df: DataFrame | None = None
+    # message-column snapshots {col: snapshot_col} — pinned when a
+    # later statement mutates message columns (mmtaghostname /
+    # mmrfc5424addhmac / parse_success writers), same discipline as
+    # vars_snapshot
+    col_snapshots: dict | None = None
 
     def output(self, annotated: DataFrame | None = None) -> DataFrame:
         """This action's rows, with the template rendered AFTER the
@@ -220,6 +253,8 @@ class CompiledAction:
         if self.vars_snapshot is not None:
             # restore the vars state this statement position saw
             out = out.withColumn(self.vars_col, F.col(self.vars_snapshot))
+        for col, snap in (self.col_snapshots or {}).items():
+            out = out.withColumn(col, F.col(snap))
         return out.withColumn(self.out_col, self.out_expr)
 
 
@@ -260,11 +295,13 @@ def _check_foreach_body(
                 "in this engine (the loop runs on a branched exploded "
                 "frame); restructure as an if around the loop"
             )
-        elif isinstance(st, Normalize):
+        elif isinstance(st, (Normalize, Audit, TagHostname, AddHmac)):
             raise ValueError(
-                "mmnormalize inside a foreach body mutates non-loop "
-                "variables, which do not persist past the loop in this "
-                "engine; move the action before the loop"
+                f"{type(st).__name__} inside a foreach body mutates "
+                "message state outside the loop variable, which does "
+                "not persist past the loop in this engine (the body "
+                "runs on a branched exploded frame); move the action "
+                "before the loop"
             )
         elif isinstance(st, (If, PriFilt, PropFilt)):
             _check_foreach_body(st.then, loop_vars, rulesets, _seen)
@@ -283,12 +320,35 @@ def _check_foreach_body(
 
 def _has_mutation(stmts: list) -> bool:
     for st in stmts:
-        if isinstance(st, (Set, Unset, Foreach, Normalize)):
+        if isinstance(st, (Set, Unset, Foreach, Normalize, Audit)):
             return True
         for sub in ("then", "els", "body"):
             if hasattr(st, sub) and _has_mutation(getattr(st, sub)):
                 return True
     return False
+
+
+# message columns each statement type may overwrite — a template
+# emitted BEFORE such a statement must snapshot them (ruleset.c
+# sequential exec: the render sees the state at its own position)
+_COL_MUTATORS = (
+    (TagHostname, ("syslogtag", "programname", "hostname")),
+    (AddHmac, ("structured_data",)),
+    (Audit, ("parse_success",)),
+    (Normalize, ("parse_success",)),
+)
+
+
+def _mutated_cols(stmts: list) -> set:
+    out: set = set()
+    for st in stmts:
+        for typ, cols in _COL_MUTATORS:
+            if isinstance(st, typ):
+                out.update(cols)
+        for sub in ("then", "els", "body"):
+            if hasattr(st, sub):
+                out |= _mutated_cols(getattr(st, sub))
+    return out
 
 
 class RouteCompiler:
@@ -298,7 +358,11 @@ class RouteCompiler:
         self,
         rulesets: dict[str, Ruleset] | None = None,
         suspended_sinks: set | None = None,
+        localhostname: str = "localhost",
     ):
+        # global(localhostname=...) — mmtaghostname's forced hostname
+        # (deterministic default; the daemon would use the machine name)
+        self.localhostname = localhostname
         self.rulesets = rulesets or {}
         self.queued: set[str] = set()  # rulesets with their own queue
         # sinks currently marked down (the batch analog of an action in
@@ -335,6 +399,12 @@ class RouteCompiler:
         self._need_snapshots = any(
             _has_mutation(rs.stmts) for rs in self.rulesets.values()
         )
+        # message columns some statement may overwrite: templates pin
+        # these per emit position (empty set for the common case)
+        self._col_mut: set = set()
+        for rs in self.rulesets.values():
+            self._col_mut |= _mutated_cols(rs.stmts)
+        self._col_mut &= set(df.columns)
         true = F.lit(True)
         false = F.lit(False)
         # bPreviousSuspended analog: suspension is per-ACTION state in
@@ -381,10 +451,19 @@ class RouteCompiler:
                 # lazily-rendered template (ruleset.c sequential exec)
                 snap = self._fresh("tplvars")
                 self._df = self._df.withColumn(snap, F.col(self._vars_col))
+        col_snaps = None
+        if out_expr is not None and self._col_mut:
+            # same pinning for message columns a later mmtaghostname /
+            # mmrfc5424addhmac / parse_success writer may overwrite
+            col_snaps = {}
+            for col in sorted(self._col_mut):
+                sc = self._fresh(f"tplcol_{col}")
+                self._df = self._df.withColumn(sc, F.col(col))
+                col_snaps[col] = sc
         self._actions.append(
             CompiledAction(
                 st.sink, pred_name, out_name, out_expr, snap,
-                self._vars_col, df_override,
+                self._vars_col, df_override, col_snaps,
             )
         )
 
@@ -454,6 +533,12 @@ class RouteCompiler:
                 self._apply_unset(st, path & ~stopped)
             elif isinstance(st, Normalize):
                 self._apply_normalize(st, path & ~stopped)
+            elif isinstance(st, TagHostname):
+                self._apply_taghostname(st, path & ~stopped)
+            elif isinstance(st, Audit):
+                self._apply_audit(path & ~stopped)
+            elif isinstance(st, AddHmac):
+                self._apply_addhmac(st, path & ~stopped)
             elif isinstance(st, Call):
                 if st.ruleset in calling:
                     raise ValueError(f"recursive call to {st.ruleset}")
@@ -539,6 +624,108 @@ class RouteCompiler:
                     F.col("parse_success")
                 ),
             )
+
+    def _apply_taghostname(self, st: TagHostname, active: Column):
+        """mmtaghostname doAction (contrib/mmtaghostname/
+        mmtaghostname.c:160-178): MsgSetTAG replaces the syslogtag
+        wholesale (programname re-derived — the reference invalidates
+        its cache); forcelocalhostname sets HOSTNAME to the
+        global(localhostname=...) value."""
+        import re as _re
+
+        if st.tag is not None:
+            self._df = self._df.withColumn(
+                "syslogtag",
+                F.when(active, F.lit(st.tag)).otherwise(F.col("syslogtag")),
+            )
+            if "programname" in self._df.columns:
+                from rsyslog_spark.parse.chain import _PROGNAME_RE
+
+                prog = _re.match(_PROGNAME_RE, st.tag).group(1)
+                self._df = self._df.withColumn(
+                    "programname",
+                    F.when(active, F.lit(prog)).otherwise(
+                        F.col("programname")
+                    ),
+                )
+        if st.force_localhostname:
+            self._df = self._df.withColumn(
+                "hostname",
+                F.when(active, F.lit(self.localhostname)).otherwise(
+                    F.col("hostname")
+                ),
+            )
+
+    def _apply_audit(self, active: Column):
+        """mmaudit doAction (plugins/mmaudit/mmaudit.c:203-272): parse
+        a Linux audit record into the $!audit subtree + set
+        parse_success 0/1 on every row the action sees (byte-exact walk
+        in mods.audit_record_fields — Arrow-batched, the scan is
+        inherently per-char)."""
+        from rsyslog_spark.mods import audit_record_fields
+
+        @F.pandas_udf("map<string,string>")
+        def _walk(texts):
+            return texts.map(audit_record_fields)
+
+        nc = self._fresh("audit")
+        self._df = self._df.withColumn(nc, _walk(F.col("msg")))
+        got = active & F.col(nc).isNotNull()
+        v = self._vars_col
+        cur = F.col(v)
+        merged = F.map_concat(
+            F.map_filter(
+                cur,
+                lambda k, _: ~F.array_contains(F.map_keys(F.col(nc)), k),
+            ),
+            F.col(nc),
+        )
+        self._df = self._df.withColumn(
+            v, F.when(got, merged).otherwise(cur)
+        )
+        prev = (
+            F.col("parse_success")
+            if "parse_success" in self._df.columns
+            else F.lit(None).cast("boolean")
+        )
+        self._df = self._df.withColumn(
+            "parse_success", F.when(active, got).otherwise(prev)
+        ).drop(nc)
+
+    def _apply_addhmac(self, st: AddHmac, active: Column):
+        """mmrfc5424addhmac doAction (contrib/mmrfc5424addhmac/
+        mmrfc5424addhmac.c:337-354): RFC5424 rows without the SD-ID get
+        ``[<sd_id> hash="<hmac-of-rawmsg>"]`` appended to their
+        structured data; everything else passes through."""
+        import pandas as pd
+
+        from rsyslog_spark.mods import hmac_sd_element
+
+        kb = st.key.encode("utf-8")
+        algo, sdid = st.hashfunction.lower(), st.sd_id
+
+        @F.pandas_udf("string")
+        def _hm(raw, sd):
+            return pd.Series(
+                [
+                    hmac_sd_element(r, s, kb, algo, sdid)
+                    for r, s in zip(raw, sd)
+                ]
+            )
+
+        nc = self._fresh("hmac")
+        self._df = self._df.withColumn(
+            nc, _hm(F.col("rawmsg"), F.col("structured_data"))
+        )
+        take = (
+            active
+            & (F.col("protocol_version") == 1)
+            & F.col(nc).isNotNull()
+        )
+        self._df = self._df.withColumn(
+            "structured_data",
+            F.when(take, F.col(nc)).otherwise(F.col("structured_data")),
+        ).drop(nc)
 
     def _apply_unset(self, st: Unset, active: Column):
         v = self._vars_col

@@ -1,0 +1,317 @@
+"""mmtaghostname / mmaudit / mmrfc5424addhmac (round-5 modules).
+
+Goldens are hand-derived from the reference C walks and, for
+mmtaghostname, reproduce the two reference e2e tests' content checks
+byte-for-byte (tests/mmtaghostname_tag.sh, tests/mmtaghostname_server.sh
+— the template's trailing newline is the file sink's line terminator,
+asserted without it here)."""
+
+from __future__ import annotations
+
+import hashlib
+import hmac as hmaclib
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from rsyslog_spark.config import compile_config
+from rsyslog_spark.mods import (
+    audit_record_fields,
+    hmac_sd_element,
+    mm_audit,
+    mm_rfc5424addhmac,
+    mm_taghostname,
+)
+from rsyslog_spark.parse import with_parsed
+
+# the exact tcpflood message both reference tests inject
+RAW_5424 = (
+    "<189>1 2019-03-03T16:09:56.185+00:00 server app 123.4 msgid - "
+    "%SYS-5-CONFIG_I: Configured from console by adminsepp on vty0 "
+    "(10.23.214.226)"
+)
+MSG = (
+    "%SYS-5-CONFIG_I: Configured from console by adminsepp on vty0 "
+    "(10.23.214.226)"
+)
+
+
+def _parsed_df(spark, raws):
+    df = spark.createDataFrame(
+        [(r, "2019-03-03 16:10:00") for r in raws], "text string, ts string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    return with_parsed(df)
+
+
+def _render(ann, actions, sink):
+    a = next(x for x in actions if x.sink == sink)
+    rows = a.output(ann).select(F.col(a.out_col).alias("x")).collect()
+    return [r["x"] for r in rows]
+
+
+class TestMMTagHostname:
+    def test_tag_golden(self, spark):
+        """tests/mmtaghostname_tag.sh content check byte-exact."""
+        conf = """
+template(name="test" type="string"
+         string="tag: %syslogtag%, server: %hostname%, msg: %msg%")
+ruleset(name="ruleset") {
+    action(type="mmtaghostname" tag="source-imtcp")
+    action(type="omfile" file="/x/out.log" template="test")
+}
+"""
+        ann, actions = compile_config(
+            _parsed_df(spark, [RAW_5424]), conf, entry="ruleset"
+        )
+        assert _render(ann, actions, "out") == [
+            f"tag: source-imtcp, server: server, msg: {MSG}"
+        ]
+
+    def test_forcelocalhostname_golden(self, spark):
+        """tests/mmtaghostname_server.sh content check byte-exact —
+        global(localhostname="frontAPP") feeds the forced hostname;
+        the TAG stays the parsed app[procid]."""
+        conf = """
+global(localhostname="frontAPP")
+template(name="test" type="string"
+         string="tag: %syslogtag%, server: %hostname%, msg: %msg%")
+ruleset(name="ruleset") {
+    action(type="mmtaghostname" forcelocalhostname="on")
+    action(type="omfile" file="/x/out.log" template="test")
+}
+"""
+        ann, actions = compile_config(
+            _parsed_df(spark, [RAW_5424]), conf, entry="ruleset"
+        )
+        assert _render(ann, actions, "out") == [
+            f"tag: app[123.4], server: frontAPP, msg: {MSG}"
+        ]
+
+    def test_template_before_mutation_sees_old_state(self, spark):
+        """ruleset.c sequential exec: an action ABOVE mmtaghostname
+        renders the pre-mutation tag/hostname (column snapshots)."""
+        conf = """
+global(localhostname="frontAPP")
+template(name="t" type="string" string="%syslogtag%/%hostname%")
+ruleset(name="r") {
+    action(type="omfile" file="/x/before.log" template="t")
+    action(type="mmtaghostname" tag="newtag" forcelocalhostname="on")
+    action(type="omfile" file="/x/after.log" template="t")
+}
+"""
+        ann, actions = compile_config(
+            _parsed_df(spark, [RAW_5424]), conf, entry="r"
+        )
+        assert _render(ann, actions, "before") == ["app[123.4]/server"]
+        assert _render(ann, actions, "after") == ["newtag/frontAPP"]
+
+    def test_programname_rederived(self, spark):
+        df = mm_taghostname(_parsed_df(spark, [RAW_5424]), tag="nginx[12]:")
+        row = df.select("syslogtag", "programname").first()
+        assert row["syslogtag"] == "nginx[12]:"
+        assert row["programname"] == "nginx"
+
+    def test_conditional_path(self, spark):
+        """mmtaghostname inside an if only retags the matching rows."""
+        raws = [RAW_5424, RAW_5424.replace("app", "db2")]
+        conf = """
+template(name="t" type="string" string="%syslogtag%")
+ruleset(name="r") {
+    if ($app-name == "app") then {
+        action(type="mmtaghostname" tag="retagged")
+    }
+    action(type="omfile" file="/x/out.log" template="t")
+}
+"""
+        ann, actions = compile_config(_parsed_df(spark, raws), conf, entry="r")
+        assert sorted(_render(ann, actions, "out")) == [
+            "db2[123.4]", "retagged",
+        ]
+
+
+class TestAuditWalk:
+    """audit_record_fields vs the hand-traced C walk (mmaudit.c)."""
+
+    def test_typical_record(self):
+        r = audit_record_fields(
+            "type=1305 audit(1234.567:89): auid=4294967295 ses=4294967295"
+            " op=\"remove rule\" list=5 res=1"
+        )
+        assert r["audit!hdr!type"] == "1305"
+        # sizeof(" audit(") quirk: the id's first char is dropped
+        assert r["audit!hdr!auditid"] == "234.567:89"
+        assert r["audit!data!auid"] == "4294967295"
+        assert r["audit!data!op"] == "remove rule"
+        assert r["audit!data!res"] == "1"
+
+    def test_quote_leak_quirk(self):
+        # parseValue stops AT the closing quote without consuming it,
+        # so the next name leaks the quote + separator (C behavior)
+        r = audit_record_fields("type=1400 audit(99.1:2): msg='hello x' pid=42")
+        assert r["audit!data!msg"] == "hello x"
+        assert r["audit!data!' pid"] == "42"
+
+    def test_partial_commit_on_missing_equals(self):
+        # audit_parse's error return is ignored by doAction: pairs
+        # parsed before the malformed token are committed, success=1
+        r = audit_record_fields("type=1 audit(55.0:1): a=1 borked")
+        assert r is not None and r["audit!data!a"] == "1"
+        assert "audit!data!borked" not in r
+
+    def test_rejections(self):
+        assert audit_record_fields("plain syslog line") is None
+        assert audit_record_fields("type=13x audit(1:2): a=1") is None
+        assert audit_record_fields("type=13 audit(1:2 no paren") is None
+        assert audit_record_fields("   ") is None
+        assert audit_record_fields(None) is None
+
+    def test_leading_whitespace_skipped(self):
+        r = audit_record_fields("  \ttype=2 audit(70.5:3): k=v")
+        assert r["audit!hdr!type"] == "2"
+        assert r["audit!data!k"] == "v"
+
+
+class TestMMAudit:
+    # res BEFORE the quoted value: a name directly after a quoted value
+    # inherits the leaked quote (C quirk, covered in TestAuditWalk)
+    AUDIT_MSG = (
+        "type=1305 audit(1234.567:89): auid=4294967295 res=1"
+        " op=\"remove rule\""
+    )
+
+    def _df(self, spark):
+        # craft one audit row + one plain row through the real parser
+        raws = [
+            "<46>Mar  3 16:09:56 host kernel: " + self.AUDIT_MSG,
+            "<46>Mar  3 16:09:56 host kernel: normal line",
+        ]
+        return _parsed_df(spark, raws)
+
+    def test_dataframe_level(self, spark):
+        out = mm_audit(self._df(spark)).select(
+            "msg", "vars", "parse_success"
+        ).collect()
+        by_audit = {("audit" in r["msg"]): r for r in out}
+        hit, miss = by_audit[True], by_audit[False]
+        assert hit["parse_success"] is True
+        assert hit["vars"]["audit!hdr!type"] == "1305"
+        assert hit["vars"]["audit!hdr!auditid"] == "234.567:89"
+        assert hit["vars"]["audit!data!op"] == "remove rule"
+        assert miss["parse_success"] is False
+        assert not miss["vars"]
+
+    def test_config_text_action(self, spark):
+        conf = """
+template(name="t" type="string"
+         string="%$!audit!hdr!type%|%$!audit!data!res%")
+ruleset(name="r") {
+    action(type="mmaudit")
+    if ($!audit!hdr!type != "") then {
+        action(type="omfile" file="/x/audit.log" template="t")
+    }
+}
+"""
+        ann, actions = compile_config(self._df(spark), conf, entry="r")
+        assert _render(ann, actions, "audit") == ["1305|1"]
+
+    def test_msg_leading_space_from_3164(self, spark):
+        # RFC3164 MSG after "TAG: " keeps no leading space here (the
+        # parser strips at TAG boundary) — but an explicit leading
+        # space in MSG must still be skipped by the audit walk
+        assert audit_record_fields(" type=9 audit(11.0:4): x=y") is not None
+
+
+class TestMMRfc5424AddHmac:
+    KEY, SDID = "s3cr3t", "hmac@32473"
+
+    def _expected(self, raw):
+        mac = hmaclib.new(
+            self.KEY.encode(), raw.encode(), hashlib.sha256
+        ).hexdigest()
+        return f'[{self.SDID} hash="{mac}"]'
+
+    def test_kernel_golden(self):
+        raw = RAW_5424
+        exp = self._expected(raw)
+        assert hmac_sd_element(
+            raw, "-", self.KEY.encode(), "sha256", self.SDID
+        ) == exp
+        # existing SD: string append, no separator (msg.c:5205-5224)
+        assert hmac_sd_element(
+            raw, '[x@1 a="b"]', self.KEY.encode(), "sha256", self.SDID
+        ) == '[x@1 a="b"]' + exp
+        # already present (any position): untouched
+        assert hmac_sd_element(
+            raw, f'[{self.SDID} hash="z"]', self.KEY.encode(), "sha256",
+            self.SDID,
+        ) is None
+        assert hmac_sd_element(
+            raw, f'[a@1 x="y"][{self.SDID} hash="z"]', self.KEY.encode(),
+            "sha256", self.SDID,
+        ) is None
+        # prefix SD-IDs do not false-positive (token ends at =/ /]/")
+        assert hmac_sd_element(
+            raw, '[hmac@324730 x="y"]', self.KEY.encode(), "sha256",
+            self.SDID,
+        ) is not None
+
+    def test_dataframe_level_and_idempotence(self, spark):
+        raw3164 = "<46>Mar  3 16:09:56 host app: hello"
+        df = _parsed_df(spark, [RAW_5424, raw3164])
+        out = mm_rfc5424addhmac(
+            df, key=self.KEY, hashfunction="sha256", sd_id=self.SDID
+        )
+        rows = {r["protocol_version"]: r for r in
+                out.select("protocol_version", "structured_data",
+                           "rawmsg").collect()}
+        assert rows[1]["structured_data"] == self._expected(
+            rows[1]["rawmsg"]
+        )
+        # non-RFC5424 untouched
+        assert rows[0]["structured_data"] in (None, "-", "")
+        # second application is a no-op (isHmacPresent)
+        again = mm_rfc5424addhmac(
+            out, key=self.KEY, hashfunction="sha256", sd_id=self.SDID
+        )
+        r2 = {r["protocol_version"]: r for r in
+              again.select("protocol_version", "structured_data").collect()}
+        assert r2[1]["structured_data"] == rows[1]["structured_data"]
+
+    def test_config_text_action(self, spark):
+        conf = f"""
+template(name="t" type="string" string="%structured-data%")
+ruleset(name="r") {{
+    action(type="mmrfc5424addhmac" key="{self.KEY}"
+           hashfunction="sha256" sd_id="{self.SDID}")
+    action(type="omfile" file="/x/sd.log" template="t")
+}}
+"""
+        ann, actions = compile_config(
+            _parsed_df(spark, [RAW_5424]), conf, entry="r"
+        )
+        raw = ann.select("rawmsg").first()["rawmsg"]
+        assert _render(ann, actions, "sd") == [self._expected(raw)]
+
+    def test_mandatory_params(self, spark):
+        with pytest.raises(ValueError, match="mandatory"):
+            compile_config(
+                _parsed_df(spark, [RAW_5424]),
+                'ruleset(name="r") { action(type="mmrfc5424addhmac" '
+                'key="k") }',
+                entry="r",
+            )
+        with pytest.raises(ValueError, match="unknown"):
+            compile_config(
+                _parsed_df(spark, [RAW_5424]),
+                'ruleset(name="r") { action(type="mmrfc5424addhmac" '
+                'key="k" hashfunction="nope" sd_id="x@1") }',
+                entry="r",
+            )
+
+    def test_unknown_hash_df_level(self, spark):
+        with pytest.raises(ValueError, match="unknown"):
+            mm_rfc5424addhmac(
+                _parsed_df(spark, [RAW_5424]), key="k",
+                hashfunction="not-a-digest", sd_id="x@1",
+            )
