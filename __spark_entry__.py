@@ -1209,7 +1209,62 @@ def q_multimodal(spark, sf_dir):
             ),
         ).alias("features_csv"),
     )
-    return meta.join(feats, on="doc_id")
+    # r5 facet: REAL container-header image metadata (PNG IHDR / GIF /
+    # BMP / JPEG SOF — multimodal.image_header_meta). Payload bytes are
+    # built NATIVELY (hex strings -> unhex, zero UDF on the build side)
+    # so the kernel only ever PARSES; doc_id%5==4 rows are corrupt and
+    # must contain to ok=false nulls.
+    from rsyslog_spark.dataops.multimodal import image_meta
+
+    def _be(c, nbytes):
+        return F.lpad(F.hex(c), nbytes * 2, "0")
+
+    def _le(c, nbytes):
+        h = F.lpad(F.hex(c), nbytes * 2, "0")
+        return F.concat(
+            *[F.substring(h, 2 * k + 1, 2) for k in reversed(range(nbytes))]
+        )
+
+    w = (1 + F.col("doc_id") % 500).cast("int")
+    h = (1 + F.col("doc_id") % 300).cast("int")
+    png = F.concat(
+        F.lit("89504E470D0A1A0A0000000D49484452"), _be(w, 4), _be(h, 4),
+        F.lit("08060000000000"),
+    )
+    gif = F.concat(
+        F.lit("474946383961"), _le(w, 2), _le(h, 2), F.lit("F70000")
+    )
+    bmp = F.concat(
+        F.lit("424D000000000000000000000000"), F.lit("28000000"),
+        _le(w, 4), _le(h, 4), F.lit("01001800"),
+    )
+    jpeg = F.concat(
+        # SOI + APP0(len 16: JFIF\0, v1.1, units 0, density 0x0, thumb 0x0)
+        F.lit("FFD8FFE000104A46494600010100000000000000"),
+        # SOF0(len 17): precision 8, height, width, 3 components
+        F.lit("FFC0001108"), _be(h, 2), _be(w, 2),
+        F.lit("03000000000000000000"),
+    )
+    m5 = F.col("doc_id") % 5
+    img_payload = (
+        F.when(m5 == 0, F.unhex(png))
+        .when(m5 == 1, F.unhex(gif))
+        .when(m5 == 2, F.unhex(bmp))
+        .when(m5 == 3, F.unhex(jpeg))
+        .otherwise(F.encode(F.lit("corrupt"), "UTF-8"))
+    )
+    img = image_meta(
+        payload.withColumn("img_payload", img_payload),
+        payload_col="img_payload",
+    ).select(
+        F.col("id").alias("doc_id"),
+        F.col("format").alias("img_format"),
+        F.col("width").alias("img_w"),
+        F.col("height").alias("img_h"),
+        F.col("channels").alias("img_ch"),
+        F.col("ok").alias("img_ok"),
+    )
+    return meta.join(feats, on="doc_id").join(img, on="doc_id")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -2093,7 +2148,19 @@ def oracle_sql() -> dict[str, str]:
     )
     o["multimodal"] = (
         "SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) "
-        f"AS nbytes, md5(text) AS digest, {_feats} AS features_csv "
+        f"AS nbytes, md5(text) AS digest, {_feats} AS features_csv, "
+        # image-header facet: closed-form container metadata by class
+        # (doc_id%5: png/gif/bmp/jpeg/corrupt); channels: png RGBA=4,
+        # gif palette->3, bmp 24bpp->3, jpeg 3-component
+        "CASE doc_id % 5 WHEN 0 THEN 'png' WHEN 1 THEN 'gif' "
+        "WHEN 2 THEN 'bmp' WHEN 3 THEN 'jpeg' END AS img_format, "
+        "CASE WHEN doc_id % 5 <= 3 "
+        "THEN CAST(1 + doc_id % 500 AS INT) END AS img_w, "
+        "CASE WHEN doc_id % 5 <= 3 "
+        "THEN CAST(1 + doc_id % 300 AS INT) END AS img_h, "
+        "CASE doc_id % 5 WHEN 0 THEN 4 WHEN 1 THEN 3 WHEN 2 THEN 3 "
+        "WHEN 3 THEN 3 END AS img_ch, "
+        "(doc_id % 5 <= 3) AS img_ok "
         "FROM documents"
     )
     o["impstats"] = with_parsed_oracle(

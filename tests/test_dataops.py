@@ -291,6 +291,85 @@ class TestMultimodal:
         assert all(0 <= v <= 1 for v in f0["features"])
 
 
+class TestImageHeaderKernel:
+    """REAL container-header metadata (r5): PNG IHDR / JPEG SOF / GIF /
+    BMP dims via stdlib struct — pixel decode stays stubbed."""
+
+    @staticmethod
+    def _png(w, h, bit_depth=8, color_type=6):
+        import struct
+
+        return (
+            b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 13) + b"IHDR"
+            + struct.pack(">II", w, h)
+            + bytes([bit_depth, color_type, 0, 0, 0])
+        )
+
+    @staticmethod
+    def _jpeg(w, h, ncomp=3):
+        import struct
+
+        app0 = (b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00"
+                + b"\x01\x01\x00" + b"\x00" * 6)
+        sof = (b"\xff\xc2" + struct.pack(">H", 8 + 3 * ncomp) + bytes([8])
+               + struct.pack(">HH", h, w) + bytes([ncomp])
+               + b"\x00" * (3 * ncomp))
+        return b"\xff\xd8" + app0 + sof
+
+    def test_png(self):
+        m = multimodal.image_header_meta(self._png(640, 480))
+        assert m == {"format": "png", "width": 640, "height": 480,
+                     "channels": 4, "bit_depth": 8}
+        # grayscale color type -> 1 channel
+        assert multimodal.image_header_meta(
+            self._png(3, 2, color_type=0))["channels"] == 1
+
+    def test_jpeg_progressive_sof2(self):
+        m = multimodal.image_header_meta(self._jpeg(1024, 768))
+        assert (m["format"], m["width"], m["height"], m["channels"]) == (
+            "jpeg", 1024, 768, 3)
+
+    def test_gif_and_bmp(self):
+        import struct
+
+        gif = b"GIF87a" + struct.pack("<HH", 320, 200) + bytes([0xF7, 0, 0])
+        m = multimodal.image_header_meta(gif)
+        assert (m["format"], m["width"], m["height"]) == ("gif", 320, 200)
+        # top-down BMP (negative height) reports abs()
+        bmp = (b"BM" + b"\x00" * 12 + struct.pack("<I", 40)
+               + struct.pack("<ii", 800, -600) + struct.pack("<HH", 1, 24))
+        m = multimodal.image_header_meta(bmp)
+        assert (m["format"], m["width"], m["height"], m["channels"]) == (
+            "bmp", 800, 600, 3)
+
+    def test_rejects(self):
+        assert multimodal.image_header_meta(b"") is None
+        assert multimodal.image_header_meta(b"xx") is None
+        # truncated PNG magic without a full IHDR
+        assert multimodal.image_header_meta(b"\x89PNG\r\n\x1a\nsh") is None
+        # JPEG with entropy data but no SOF
+        assert multimodal.image_header_meta(b"\xff\xd8\xff\xda\x00\x04ab") \
+            is None
+
+    def test_decode_image_real_dims_stubbed_pixels(self):
+        d = multimodal.decode_image(self._png(7, 9))
+        assert d["width"] == 7 and d["height"] == 9 and d["pixels"] is None
+        with pytest.raises(NotImplementedError):
+            multimodal.decode_image(b"not an image")
+
+    def test_image_meta_containment(self, spark):
+        rows = [
+            (0, self._png(10, 20)),
+            (1, self._jpeg(30, 40)),
+            (2, b"corrupt bytes"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, payload binary")
+        out = {r["id"]: r for r in multimodal.image_meta(df).collect()}
+        assert out[0]["format"] == "png" and out[0]["width"] == 10
+        assert out[1]["format"] == "jpeg" and out[1]["height"] == 40
+        assert out[2]["ok"] is False and out[2]["format"] is None
+
+
 class TestShingleEngines:
     def test_arrow_matches_sql(self, docs):
         a = dedup.shingles(docs)
