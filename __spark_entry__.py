@@ -497,8 +497,8 @@ def q_foreach_vars(spark, sf_dir):
     a = actions[0]
     return a.output(ann).select(
         "i",
-        F.element_at("vars", "e!key").alias("k"),
-        F.element_at("vars", "e!value").alias("v"),
+        F.element_at("vars", ".e!key").alias("k"),
+        F.element_at("vars", ".e!value").alias("v"),
         F.col(a.out_col).alias("line"),
     )
 
@@ -571,7 +571,8 @@ def q_config_text_calc(spark, sf_dir):
     from rsyslog_spark.config import compile_config
 
     ann, _ = compile_config(_ok(spark, sf_dir), _CONF_CALC, entry="calc")
-    v = lambda k: F.element_at(F.col("vars"), k)  # noqa: E731
+    # $. locals live under '.'-prefixed keys since r5 (distinct from $!)
+    v = lambda k: F.element_at(F.col("vars"), "." + k)  # noqa: E731
     return ann.select(
         "i",
         v("code").cast("long").alias("code"),

@@ -69,7 +69,12 @@ from rsyslog_spark.route import (
     TagHostname,
     Unset,
 )
-from rsyslog_spark.templates import BUILTIN_TEMPLATES, compile_template, resolve_property
+from rsyslog_spark.templates import (
+    BUILTIN_TEMPLATES,
+    compile_template,
+    resolve_property,
+)
+from rsyslog_spark.templates import var_key as tpl_var_key
 
 
 # ---------------------------------------------------------------------------
@@ -703,7 +708,11 @@ class _Parser:
         if len(path) < 2 or not path.startswith("$"):
             # reference logs and keeps the default (no abort)
             path = "$!"
-        prefix = path[2:] + "!" if len(path) > 2 else ""
+        if len(path) > 2:
+            prefix = tpl_var_key(path) + "!"
+        else:
+            # bare roots: $. grafts into the local namespace
+            prefix = "." if path == "$." else ""
         use_raw = p.get("userawmsg", "off") in ("on", "1")
         variable = p.get("variable")
         if variable is not None and use_raw:
@@ -1002,7 +1011,10 @@ class _Parser:
             if len(sep) != 1:
                 self._set_err(F.lit(1))
                 return F.lit(0), "n"
-            res = unflatten_expr(F.col("vars"), sep)
+            res = unflatten_expr(
+                F.col("vars"), sep,
+                scope="local" if ref == "$." else "msg",
+            )
             # the error channel must reflect the tree AS OF THIS CALL —
             # a later script_error() re-resolves `vars` lazily at its
             # own position (keys set in between would flip the verdict),
@@ -1020,7 +1032,7 @@ class _Parser:
                 )
             )
             stored_err = F.coalesce(
-                F.element_at(F.col("vars"), errkey).cast("int"),
+                F.element_at(F.col("vars"), "." + errkey).cast("int"),
                 F.lit(0),
             )
             self._set_err(stored_err)
@@ -1033,7 +1045,9 @@ class _Parser:
             self.expect(")")
             if ref.startswith(("$!", "$.")):
                 return (
-                    F.map_contains_key(F.col("vars"), F.lit(ref[2:])),
+                    F.map_contains_key(
+                        F.col("vars"), F.lit(tpl_var_key(ref))
+                    ),
                     "b",
                 )
             return resolve_property(ref[1:]).isNotNull(), "b"
@@ -1061,7 +1075,7 @@ class _Parser:
                 self.expect(",")
                 (keyc, _, keylit), = [self.fparam_one()]
                 self.expect(")")
-                base = ref[2:]
+                base = tpl_var_key(ref)
                 flat = F.concat(F.lit(base + "!"), rs_to_string(keyc))
                 direct = F.element_at(F.col("vars"), flat)
                 # containers stored as JSON text (parse_json) resolve
@@ -1206,11 +1220,14 @@ class _Parser:
             # the (validated) JSON text, flushed before the enclosing
             # statement; nested access goes through get_property.
             container = str(lit_or(1, ""))
+            # preserve the container's tree: "$.doc" stays a LOCAL var
+            # (doFunc_parse_json writes to the named var's own tree)
+            tree = "$." if container.startswith("$.") else "$!"
             key = container.lstrip("$!.").lstrip("!")
             src = cs[0]
             valid = F.from_json(src, "map<string,string>").isNotNull()
             self._pre_stmts.append(
-                Set("$!" + key, F.when(valid, src), force_reset=True)
+                Set(tree + key, F.when(valid, src), force_reset=True)
             )
             err = F.when(valid, 0).otherwise(1)
             self._set_err(err)
@@ -1237,13 +1254,16 @@ class _Parser:
 
     def prop_column(self, ref: str) -> Column:
         if ref in ("$!", "$."):
-            # bare root reference -> whole-tree json-c render
+            # bare root reference -> whole-tree json-c render of that
+            # tree's namespace ($. = '.'-prefixed local keys)
             from rsyslog_spark.templates import render_vars_tree
 
-            return render_vars_tree(F.col("vars"))
+            return render_vars_tree(
+                F.col("vars"),
+                scope="local" if ref == "$." else "msg",
+            )
         if ref.startswith("$!") or ref.startswith("$."):
-            key = ref[2:]
-            return F.element_at(F.col("vars"), F.lit(key))
+            return F.element_at(F.col("vars"), F.lit(tpl_var_key(ref)))
         name = ref[1:]
         # Boolean-typed engine columns become 0/1 at the expression
         # boundary (bParseSuccess is an int flag in the reference,

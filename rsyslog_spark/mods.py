@@ -171,6 +171,36 @@ _LN_TYPES = {
         r"\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}(?:\.\d+)?"
         r"(?:Z|[+-]\d{2}:\d{2})"
     ),
+    # r5 additions (liblognorm v1 field types, r4 verdict #8):
+    # float: optional sign, digits, optional fraction (a trailing '.'
+    # is consumed, like the v1 greedy scan)
+    "float": r"-?\d+(?:\.\d*)?",
+    # mac48: six hex octet pairs, ':' or '-' separated — the separator
+    # must be CONSISTENT (v1 checks one separator char), enforced by
+    # alternation rather than a backreference (keeps field numbering)
+    "mac48": (
+        r"(?:(?:[0-9A-Fa-f]{2}:){5}|(?:[0-9A-Fa-f]{2}-){5})"
+        r"[0-9A-Fa-f]{2}"
+    ),
+    # ipv6: full and ::-compressed forms (standard 9-branch form);
+    # the v1 hand parser additionally rejects some degenerate mixes —
+    # documented regex subset
+    "ipv6": (
+        r"(?:(?:[0-9A-Fa-f]{1,4}:){7}[0-9A-Fa-f]{1,4}"
+        r"|(?:[0-9A-Fa-f]{1,4}:){1,7}:"
+        r"|(?:[0-9A-Fa-f]{1,4}:){1,6}:[0-9A-Fa-f]{1,4}"
+        r"|(?:[0-9A-Fa-f]{1,4}:){1,5}(?::[0-9A-Fa-f]{1,4}){1,2}"
+        r"|(?:[0-9A-Fa-f]{1,4}:){1,4}(?::[0-9A-Fa-f]{1,4}){1,3}"
+        r"|(?:[0-9A-Fa-f]{1,4}:){1,3}(?::[0-9A-Fa-f]{1,4}){1,4}"
+        r"|(?:[0-9A-Fa-f]{1,4}:){1,2}(?::[0-9A-Fa-f]{1,4}){1,5}"
+        r"|[0-9A-Fa-f]{1,4}:(?::[0-9A-Fa-f]{1,4}){1,6}"
+        r"|:(?::[0-9A-Fa-f]{1,4}){1,7}"
+        r"|::)"
+    ),
+    # name-value-list: space-separated name=value tokens; the FIELD
+    # captures the whole span (v1's per-pair sub-field explosion is
+    # not modeled — the span is the stringly-typed bag's analog)
+    "name-value-list": r"[^= ]+=[^ ]*(?: [^= ]+=[^ ]*)*",
 }
 
 
@@ -884,3 +914,233 @@ def mm_rfc5424addhmac(
         sd_col,
         F.when(is5424 & new_sd.isNotNull(), new_sd).otherwise(F.col(sd_col)),
     )
+
+
+# ---------------------------------------------------------------------------
+# mmgrok (contrib/mmgrok/mmgrok.c) — grok front-end over the regex
+# extraction machinery
+# ---------------------------------------------------------------------------
+
+# Common grok base patterns (the public logstash/grok core set, the
+# primitives real mmgrok rulebases use). Inner captures are rewritten
+# non-capturing at compile so field numbering stays stable.
+GROK_BASE_PATTERNS: dict[str, str] = {
+    "WORD": r"\b\w+\b",
+    "NOTSPACE": r"\S+",
+    "SPACE": r"\s*",
+    "DATA": r".*?",
+    "GREEDYDATA": r".*",
+    "INT": r"[+-]?[0-9]+",
+    "BASE10NUM": r"[+-]?(?:[0-9]+(?:\.[0-9]+)?|\.[0-9]+)",
+    "NUMBER": r"%{BASE10NUM}",
+    "POSINT": r"\b[1-9][0-9]*\b",
+    "NONNEGINT": r"\b[0-9]+\b",
+    "USERNAME": r"[a-zA-Z0-9._-]+",
+    "USER": r"%{USERNAME}",
+    "IPV4": (
+        r"(?:25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)(?:\."
+        r"(?:25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)){3}"
+    ),
+    "IPV6": (
+        r"(?:(?:[0-9A-Fa-f]{1,4}:){7}[0-9A-Fa-f]{1,4}"
+        r"|(?:[0-9A-Fa-f]{1,4}:){1,7}:"
+        r"|(?:[0-9A-Fa-f]{1,4}:){1,6}:[0-9A-Fa-f]{1,4}"
+        r"|(?:[0-9A-Fa-f]{1,4}:){1,5}(?::[0-9A-Fa-f]{1,4}){1,2}"
+        r"|(?:[0-9A-Fa-f]{1,4}:){1,4}(?::[0-9A-Fa-f]{1,4}){1,3}"
+        r"|(?:[0-9A-Fa-f]{1,4}:){1,3}(?::[0-9A-Fa-f]{1,4}){1,4}"
+        r"|(?:[0-9A-Fa-f]{1,4}:){1,2}(?::[0-9A-Fa-f]{1,4}){1,5}"
+        r"|[0-9A-Fa-f]{1,4}:(?::[0-9A-Fa-f]{1,4}){1,6}"
+        r"|:(?::[0-9A-Fa-f]{1,4}){1,7}|::)"
+    ),
+    "IP": r"(?:%{IPV6}|%{IPV4})",
+    "HOSTNAME": (
+        r"\b[0-9A-Za-z][0-9A-Za-z-]{0,62}"
+        r"(?:\.[0-9A-Za-z][0-9A-Za-z-]{0,62})*\.?\b"
+    ),
+    "IPORHOST": r"(?:%{IP}|%{HOSTNAME})",
+    "LOGLEVEL": (
+        r"(?:[Aa]lert|ALERT|[Tt]race|TRACE|[Dd]ebug|DEBUG|[Nn]otice|"
+        r"NOTICE|[Ii]nfo|INFO|[Ww]arn?(?:ing)?|WARN?(?:ING)?|"
+        r"[Ee]rr?(?:or)?|ERR?(?:OR)?|[Cc]rit?(?:ical)?|CRIT?(?:ICAL)?|"
+        r"[Ff]atal|FATAL|[Ss]evere|SEVERE|EMERG(?:ENCY)?|"
+        r"[Ee]merg(?:ency)?)"
+    ),
+    "UUID": r"[A-Fa-f0-9]{8}-(?:[A-Fa-f0-9]{4}-){3}[A-Fa-f0-9]{12}",
+    "QS": r"%{QUOTEDSTRING}",
+    "QUOTEDSTRING": (
+        "(?:\"(?:[^\"\\\\]|\\\\.)*\"|'(?:[^'\\\\]|\\\\.)*')"
+    ),
+    "MONTH": (
+        r"\b(?:Jan(?:uary)?|Feb(?:ruary)?|Mar(?:ch)?|Apr(?:il)?|May|"
+        r"Jun(?:e)?|Jul(?:y)?|Aug(?:ust)?|Sep(?:tember)?|Oct(?:ober)?|"
+        r"Nov(?:ember)?|Dec(?:ember)?)\b"
+    ),
+    "MONTHDAY": r"(?:(?:0[1-9])|(?:[12][0-9])|(?:3[01])|[1-9])",
+    "YEAR": r"(?:\d\d){1,2}",
+    "HOUR": r"(?:2[0123]|[01]?[0-9])",
+    "MINUTE": r"(?:[0-5][0-9])",
+    "SECOND": r"(?:(?:[0-5]?[0-9]|60)(?:[:.,][0-9]+)?)",
+    "TIME": r"%{HOUR}:%{MINUTE}(?::%{SECOND})?",
+    "SYSLOGTIMESTAMP": r"%{MONTH} +%{MONTHDAY} %{TIME}",
+    "TIMESTAMP_ISO8601": (
+        r"%{YEAR}-%{MONTHNUM}-%{MONTHDAY}[T ]%{HOUR}:?%{MINUTE}"
+        r"(?::?%{SECOND})?%{ISO8601_TIMEZONE}?"
+    ),
+    "MONTHNUM": r"(?:0?[1-9]|1[0-2])",
+    "ISO8601_TIMEZONE": r"(?:Z|[+-]%{HOUR}(?::?%{MINUTE}))",
+}
+
+_GROK_REF = None  # compiled lazily
+
+
+def load_grok_patterns(path: str) -> dict[str, str]:
+    """patterndir file -> {NAME: regex} (grok pattern-file format:
+    'NAME<space>pattern' lines, #-comments)."""
+    out: dict[str, str] = {}
+    with open(path) as fh:
+        for line in fh:
+            line = line.rstrip("\n")
+            if not line.strip() or line.lstrip().startswith("#"):
+                continue
+            name, _, pat = line.partition(" ")
+            if not pat:
+                raise ValueError(
+                    f"mmgrok: bad pattern line in {path!r}: {line!r}"
+                )
+            out[name.strip()] = pat
+    return out
+
+
+def grok_compile(
+    match: str,
+    patterns: dict[str, str] | None = None,
+    _depth: int = 0,
+) -> tuple[str, list[tuple[str, int]]]:
+    """Grok match expression -> (java regex, [(key, group_index)]).
+
+    ``%{NAME}`` expands the named pattern (non-capturing);
+    ``%{NAME:key}`` captures it under ``key``; ``%{NAME:key:type}``
+    parses a type token that the reference then IGNORES when storing
+    (mmgrok.c:252-276 walks it, smsg_to_json:224-227 stores the value
+    string only) — kept ignored here for parity. Literal text between
+    references is grok regex and passes through. Duplicate keys:
+    last-wins (json_object_object_add replace semantics). Unknown
+    pattern names / runaway recursion raise at compile (grok_compile
+    failure — surfaced at config time rather than per message)."""
+    import re as _re
+
+    global _GROK_REF
+    if _GROK_REF is None:
+        _GROK_REF = _re.compile(r"%\{(\w+)(?::([^:}]+))?(?::([^}]+))?\}")
+    if _depth > 20:
+        raise ValueError("mmgrok: pattern recursion too deep (cycle?)")
+    pats = {**GROK_BASE_PATTERNS, **(patterns or {})}
+    keys: list[tuple[str, int]] = []
+    group_counter = [0]
+
+    def expand(text: str, depth: int, capturing: bool) -> str:
+        out: list[str] = []
+        pos = 0
+        for m in _GROK_REF.finditer(text):
+            out.append(text[pos:m.start()])
+            name, key = m.group(1), m.group(2)
+            if name not in pats:
+                raise ValueError(
+                    f"mmgrok: unknown grok pattern %{{{name}}} "
+                    "(grok_compile failure, mmgrok.c:295-300)"
+                )
+            if depth > 20:
+                raise ValueError(
+                    "mmgrok: pattern recursion too deep (cycle?)"
+                )
+            inner = expand(pats[name], depth + 1, capturing=False)
+            if key is not None and capturing:
+                group_counter[0] += 1
+                keys.append((key, group_counter[0]))
+                out.append("(" + inner + ")")
+            else:
+                out.append("(?:" + inner + ")")
+            pos = m.end()
+        tail = text[pos:]
+        # literal segments are grok regex; neutralize their capturing
+        # groups so field numbering stays ours
+        out.append(_noncapturing(tail))
+        return "".join(out)
+
+    regex = expand(match, _depth, capturing=True)
+    # last-wins per key (json-c replace semantics)
+    last: dict[str, int] = {}
+    for k, g in keys:
+        last[k] = g
+    return regex, sorted(last.items(), key=lambda kv: kv[1])
+
+
+def grok_map_expr(
+    src: Column, regex: str, keys: list[tuple[str, int]]
+) -> Column:
+    """Apply a compiled grok to a (possibly multi-line) source column.
+
+    doAction walk (mmgrok.c:330-352 + MotifyMessage:312-327): leading
+    whitespace skipped, source split on newlines (strtok — empty lines
+    vanish), grok SEARCHES each line (grok_exec is unanchored), and
+    each matching line's captures are msgAddJSON'd to the target —
+    which REPLACES the subtree, so the LAST matching line wins. NULL
+    when no line matches (target never written). Pure column
+    expressions: split + filter(rlike) + element_at(-1) +
+    regexp_extract per field."""
+    cleaned = F.regexp_replace(
+        F.coalesce(src, F.lit("")), r"^[\s]+", ""
+    )
+    lines = F.filter(
+        F.split(cleaned, "\n"),
+        lambda x: (x != "") & x.rlike(regex),
+    )
+    chosen = F.element_at(lines, -1)
+    entries = []
+    for key, grp in keys:
+        entries.append(F.lit(key))
+        entries.append(F.regexp_extract(chosen, regex, grp))
+    return F.when(chosen.isNotNull(), F.create_map(*entries))
+
+
+def mm_grok(
+    df: DataFrame,
+    match: str,
+    target: str = "$!",
+    patterns: dict[str, str] | None = None,
+    source_col: str = "msg",
+    vars_col: str = "vars",
+) -> DataFrame:
+    """contrib/mmgrok: grok-parse MSG into the ``target`` subtree.
+
+    DataFrame-level face of the Grok route statement; target accepts
+    "$!x"/"!x"/"$.x" paths (msgAddJSON target). The C's ``source``
+    action parameter is parsed but then OVERWRITTEN with the MSG
+    pointer in doAction (mmgrok.c:336-346) — parity: the source is
+    always the message column."""
+    from rsyslog_spark.templates import var_key
+
+    regex, keys = grok_compile(match, patterns)
+    t = target if target.startswith("$") else "$" + target
+    prefix = var_key(t)
+    prefix = prefix + "!" if prefix and not prefix.endswith("!") else prefix
+    gm = grok_map_expr(F.col(source_col), regex, keys)
+    nc = f"_grok_{source_col}"
+    df = df.withColumn(nc, gm)
+    got = F.col(nc).isNotNull()
+    prefixed = F.transform_keys(
+        F.col(nc), lambda k, _: F.concat(F.lit(prefix), k)
+    )
+    if vars_col not in df.columns:
+        df = df.withColumn(
+            vars_col, F.create_map().cast("map<string,string>")
+        )
+    cur = F.col(vars_col)
+    # msgAddJSON replaces the target subtree: drop old prefix keys
+    merged = F.map_concat(
+        F.map_filter(cur, lambda k, _: ~k.startswith(prefix)),
+        prefixed,
+    )
+    return df.withColumn(
+        vars_col, F.when(got, merged).otherwise(cur)
+    ).drop(nc)

@@ -260,8 +260,12 @@ class CompiledAction:
 
 
 def _var_key(name: str) -> str:
-    """'$!a!b' / '$.x' / '$/g' -> bag key (path prefix stripped)."""
-    return name[2:] if name.startswith(("$!", "$.", "$/")) else name
+    """'$!a!b' -> 'a!b'; '$.x' -> '.x' (distinct LOCAL namespace, r5 —
+    the reference keeps separate trees, runtime/msg.c:681-684);
+    '$/g' -> 'g'."""
+    from rsyslog_spark.templates import var_key
+
+    return var_key(name)
 
 
 def _check_foreach_body(
@@ -583,7 +587,7 @@ class RouteCompiler:
         elif st.variable:
             name = st.variable
             if name.startswith(("$!", "$.")):
-                src = F.element_at(F.col(self._vars_col), name[2:])
+                src = F.element_at(F.col(self._vars_col), _var_key(name))
             else:
                 src = resolve_property(name.lstrip("$"))
         else:

@@ -120,6 +120,21 @@ def set_global_vars(mapping: dict | None) -> None:
         GLOBAL_VARS.update({str(k): str(v) for k, v in mapping.items()})
 
 
+def var_key(name: str) -> str:
+    """Variable reference -> flat-bag key.
+
+    ``$!path`` (message tree) -> ``path``; ``$.path`` (LOCAL vars) ->
+    ``.path`` — a distinct key namespace, mirroring the reference's
+    separate json/localvars trees (runtime/msg.c:681-684: MSG_VAR vs
+    LOCAL_VAR). Before r5 both spellings shared one key and silently
+    aliased. ``$/g`` globals live in GLOBAL_VARS, not the bag."""
+    if name.startswith("$."):
+        return "." + name[2:]
+    if name.startswith(("$!", "$/")):
+        return name[2:]
+    return name
+
+
 def resolve_property(name: str) -> Column:
     """Property name -> Column over the parsed-message columns."""
     if name.startswith("$/") or (name.startswith("/") and len(name) > 1):
@@ -145,19 +160,25 @@ def resolve_property(name: str) -> Column:
         return F.to_json(F.struct(*[F.col(c) for c in _JSONMESG_COLS]))
     if lname == "uuid":
         return F.expr("uuid()")
-    if name in ("$!", "$."):
-        # bare root: whole-tree json-c render, '' when empty
-        # (tests/rscript_bare_var_root.sh + -empty.sh)
+    if name == "$!":
+        # bare message-tree root: json-c render of non-local keys, ''
+        # when empty (tests/rscript_bare_var_root.sh + -empty.sh)
         return render_vars_tree(F.col("vars"))
+    if name == "$.":
+        # bare LOCAL-vars root: the '.'-prefixed key namespace
+        return render_vars_tree(F.col("vars"), scope="local")
     if name.startswith("!") and len(name) > 1:
         # %!x% — subtree render in the json-c spaced form
         # (tests/rscript_substring.sh golden '{ "var1": "", ... }')
         return render_vars_tree(F.col("vars"), prefix=name[1:] + "!")
+    if name.startswith(".") and len(name) > 1:
+        # %.x% — local-var subtree render
+        return render_vars_tree(F.col("vars"), prefix=name + "!")
     if name.startswith(("$!", "$.")):
-        # both the $! message tree and the $. local bag live in the one
-        # vars map (SURVEY §1.3) — rsyslog separates their lifetimes,
-        # but in a per-row dataflow both die with the row anyway
-        return F.element_at(F.col("vars"), name[2:])
+        # $! message tree and $. locals live in ONE map under distinct
+        # key namespaces (locals '.'-prefixed) — r5, matching the
+        # reference's separate trees (runtime/msg.c:681-684)
+        return F.element_at(F.col("vars"), var_key(name))
     # system time properties (PROP_SYS_*, msg.c:755-793; formatting
     # getNOW msg.c:2996-3051). "Processing time" = timegenerated here
     # (deterministic per row — a wall clock would break golden tests and
@@ -212,10 +233,19 @@ def subtree_template(path: str, vars_col: str = "vars") -> Column:
     entries; the render prefers the stored JSON and falls back to
     re-nesting one level of flat keys. subtree="$!" renders the whole
     (flat) tree."""
-    key = path[2:] if path.startswith(("$!", "$.")) else path.lstrip("$")
+    key = var_key(path) if path.startswith(("$!", "$.")) else path.lstrip("$")
     v = F.col(vars_col)
-    if not key:
-        return F.to_json(v)
+    if key in ("", "."):
+        # whole-tree roots: $! excludes the '.'-prefixed local keys,
+        # $. selects exactly those (stripped)
+        if key == ".":
+            scoped = F.transform_keys(
+                F.map_filter(v, lambda k, _: k.startswith(".")),
+                lambda k, _: F.substring(k, 2, 2**30),
+            )
+        else:
+            scoped = F.map_filter(v, lambda k, _: ~k.startswith("."))
+        return F.to_json(scoped)
     stored = F.element_at(v, F.lit(key))
     prefix = key + "!"
     sub = F.transform_keys(
@@ -591,10 +621,10 @@ def with_template(df: DataFrame, spec: str, out: str = "formatted") -> DataFrame
 
 # -- $! tree rendering + fmunflatten ----------------------------------------
 # The flat vars bag renders to the reference's json-c SPACED form
-# ('{ "k": "v" }') by re-nesting '!' flat keys. CAVEAT (SURVEY §1.3):
-# $! and $. share one bag in this engine, so a bare-$! render includes
-# local vars set before it — the reference fixtures exercised here set
-# only $! keys before rendering.
+# ('{ "k": "v" }') by re-nesting '!' flat keys. Since r5 the $. local
+# vars occupy a distinct '.'-prefixed key namespace (matching the
+# reference's separate trees, runtime/msg.c:681-684), so a bare-$!
+# render excludes locals and vice versa.
 
 
 def _jsonc_escape(s: str) -> str:
@@ -663,22 +693,32 @@ def _unflatten_node(src: dict, sep: str) -> dict:
 
 def _vis(d: dict | None) -> dict:
     """Drop engine-internal __-prefixed keys (script_error snapshots)
-    from tree renders."""
-    return {k: v for k, v in (d or {}).items() if not k.startswith("__")}
+    from tree renders — in both the message tree and the '.'-prefixed
+    local namespace."""
+    return {
+        k: v
+        for k, v in (d or {}).items()
+        if not k.lstrip(".").startswith("__")
+    }
 
 
-def render_vars_tree(vars_col: Column, prefix: str = "") -> Column:
+def render_vars_tree(
+    vars_col: Column, prefix: str = "", scope: str = "msg"
+) -> Column:
     """Bare `%$!%` / `$!` (or a `%!x%` subtree via ``prefix``='x!') —
     json-c spaced render of the re-nested tree; empty tree -> ''
     (tests/rscript_bare_var_root.sh + -empty.sh, rscript_substring.sh
-    goldens)."""
+    goldens). ``scope``='local' renders the `$.` namespace instead
+    (the '.'-prefixed keys, stripped)."""
 
     def _pick(d: dict) -> dict:
         d = _vis(d)
-        if not prefix:
-            return d
-        n = len(prefix)
-        return {k[n:]: v for k, v in d.items() if k.startswith(prefix)}
+        if prefix:
+            n = len(prefix)
+            return {k[n:]: v for k, v in d.items() if k.startswith(prefix)}
+        if scope == "local":
+            return {k[1:]: v for k, v in d.items() if k.startswith(".")}
+        return {k: v for k, v in d.items() if not k.startswith(".")}
 
     def _render(maps: pd.Series) -> pd.Series:
         return maps.map(
@@ -689,18 +729,27 @@ def render_vars_tree(vars_col: Column, prefix: str = "") -> Column:
     return F.pandas_udf(_render, "string")(vars_col)
 
 
-def unflatten_expr(vars_col: Column, sep: str) -> Column:
+def unflatten_expr(
+    vars_col: Column, sep: str, scope: str = "msg"
+) -> Column:
     """unflatten($!, sep) (contrib/fmunflatten): re-nest the tree,
     then split every key name on the 1-char separator. Returns NULL
     for an empty bag (arg1 'unsuitable' — the caller maps that to
-    script_error=1 and the number-0 result the fixtures pin)."""
+    script_error=1 and the number-0 result the fixtures pin).
+    ``scope``='local' operates on the `$.` namespace."""
+
+    def _pick(d: dict) -> dict:
+        d = _vis(d)
+        if scope == "local":
+            return {k[1:]: v for k, v in d.items() if k.startswith(".")}
+        return {k: v for k, v in d.items() if not k.startswith(".")}
 
     def _unf(maps: pd.Series) -> pd.Series:
         return maps.map(
             lambda d: _jsonc_render(
-                _unflatten_node(_flat_to_tree(_vis(d)), sep)
+                _unflatten_node(_flat_to_tree(_pick(d)), sep)
             )
-            if _vis(d) else None
+            if _pick(d) else None
         )
 
     return F.pandas_udf(_unf, "string")(vars_col)

@@ -1514,8 +1514,8 @@ class TestFmHash:
         '''
         v = self._vars(df, conf)
         # rscript_hash64.sh second alternative: -50452361579464591 - 25
-        assert v["h1"] == "-50452361579464591"
-        assert v["h2"] == "25"
+        assert v[".h1"] == "-50452361579464591"
+        assert v[".h2"] == "25"
 
     def test_hash32_golden(self, df):
         conf = f'''
@@ -1526,8 +1526,8 @@ class TestFmHash:
         '''
         v = self._vars(df, conf)
         # rscript_hash32.sh first alternative: 746581550 - 50
-        assert v["h1"] == "746581550"
-        assert v["h2"] == "50"
+        assert v[".h1"] == "746581550"
+        assert v[".h2"] == "50"
 
     def test_seed_and_column_input(self, df):
         conf = '''
@@ -1539,8 +1539,8 @@ class TestFmHash:
         '''
         v = self._vars(df, conf)
         # djb adds the seed AFTER the loop; fnv over '' returns the seed
-        assert v["a"] == v["b"]
-        assert v["c"] == "123"
+        assert v[".a"] == v[".b"]
+        assert v[".c"] == "123"
 
     def test_differential_python(self, spark):
         # byte-walk parity incl. a non-ASCII (sign-extension) case
@@ -1574,8 +1574,8 @@ class TestFmHash:
             return h - (1 << 64) if h >= (1 << 63) else h
 
         for i, s in enumerate(strs):
-            assert got[i]["h32"] == str(py32(s)), (s, got[i])
-            assert got[i]["h64"] == str(py64(s)), (s, got[i])
+            assert got[i][".h32"] == str(py32(s)), (s, got[i])
+            assert got[i][".h64"] == str(py64(s)), (s, got[i])
 
 
 class TestUnflattenAndBareRoot:
@@ -1728,3 +1728,76 @@ class TestSubstringAndSubtreeGolden:
             '{ "var1": "", "var2": "test", "var3": "es", "var4": "", '
             '"var5": "test", "var6": "test", "var7": "t", "var8": "" }'
         )
+
+
+class TestRulebaseNewTypes:
+    """r5: liblognorm v1 types float / mac48 / ipv6 / name-value-list
+    (plugins/mmnormalize rulebase semantics; previously loud-rejected)."""
+
+    def _one(self, spark, rb, msg):
+        from rsyslog_spark.mods import parse_rulebase, rulebase_map_expr
+
+        df = spark.createDataFrame([(msg,)], "msg string")
+        return dict(
+            df.select(
+                rulebase_map_expr(F.col("msg"), parse_rulebase(rb))
+                .alias("m")
+            ).first()["m"]
+        )
+
+    def test_float(self, spark):
+        rb = "rule=:temp=%t:float% unit=%u:word%"
+        got = self._one(spark, rb, "temp=-12.75 unit=C")
+        assert got == {"t": "-12.75", "u": "C"}
+        # v1 greedy scan consumes a trailing dot
+        got = self._one(spark, rb, "temp=15. unit=F")
+        assert got["t"] == "15."
+        # non-number does not match
+        got = self._one(spark, rb, "temp=abc unit=C")
+        assert "t" not in got and "originalmsg" in got
+
+    def test_mac48_consistent_separator(self, spark):
+        rb = "rule=:mac %m:mac48% end"
+        assert self._one(spark, rb, "mac 00:1b:63:84:45:e6 end")["m"] == \
+            "00:1b:63:84:45:e6"
+        assert self._one(spark, rb, "mac 00-1B-63-84-45-E6 end")["m"] == \
+            "00-1B-63-84-45-E6"
+        # mixed separators must NOT match (v1 checks one separator)
+        got = self._one(spark, rb, "mac 00:1b-63:84:45:e6 end")
+        assert "m" not in got
+
+    def test_ipv6(self, spark):
+        rb = "rule=:src=%a:ipv6% ok"
+        for addr in ("2001:db8:85a3:0:0:8a2e:370:7334",
+                     "2001:db8::8a2e:370:7334", "::1", "fe80::"):
+            assert self._one(spark, rb, f"src={addr} ok")["a"] == addr
+        got = self._one(spark, rb, "src=not-an-ip ok")
+        assert "a" not in got
+
+    def test_name_value_list_span(self, spark):
+        rb = "rule=:AUDIT %kv:name-value-list% END"
+        got = self._one(spark, rb, "AUDIT uid=0 pid=133 comm=sshd END")
+        assert got["kv"] == "uid=0 pid=133 comm=sshd"
+
+    def test_unknown_type_still_loud(self, spark):
+        from rsyslog_spark.mods import parse_rulebase
+
+        with pytest.raises(ValueError, match="unsupported liblognorm"):
+            parse_rulebase("rule=:%x:iptables%")
+
+    def test_config_text_rule_param(self, spark):
+        # the new types are reachable from config text (action rule=)
+        df = spark.createDataFrame(
+            [(1, "lease 10.0.0.7 mac 00:1b:63:84:45:e6")],
+            "i long, msg string",
+        )
+        conf = '''
+        ruleset(name="r") {
+            action(type="mmnormalize"
+                   rule=["rule=:lease %ip:ipv4% mac %mac:mac48%"])
+        }
+        '''
+        ann, _ = compile_config(df, conf, entry="r")
+        v = dict(ann.first()["vars"])
+        assert v["ip"] == "10.0.0.7"
+        assert v["mac"] == "00:1b:63:84:45:e6"

@@ -161,6 +161,6 @@ def test_expression_differential(one_row, exprs):
     for i, e in enumerate(exprs):
         k, v = ev(e)
         expect = _sstr(k, v)
-        assert got[f"e{i}"] == expect, (
-            f"expr {render(e)}: spark={got[f'e{i}']!r} model={expect!r}"
+        assert got[f".e{i}"] == expect, (
+            f"expr {render(e)}: spark={got[f'.e{i}']!r} model={expect!r}"
         )

@@ -55,9 +55,9 @@ class TestForeach:
         rc = RouteCompiler().add(Ruleset("fe", [
             Foreach("$.e", F.col("payload"), mode="auto", body=[
                 Action("pairs", F.concat(
-                    F.coalesce(F.element_at(F.col("vars"), "e!key"), F.lit("")),
+                    F.coalesce(F.element_at(F.col("vars"), ".e!key"), F.lit("")),
                     F.lit("="),
-                    F.element_at(F.col("vars"), "e!value"),
+                    F.element_at(F.col("vars"), ".e!value"),
                 )),
             ]),
         ]))
@@ -81,12 +81,12 @@ class TestForeach:
         )
         rc = RouteCompiler().add(Ruleset("fe", [
             Foreach("$.q", F.col("payload"), mode="auto", body=[
-                Foreach("$.c", F.element_at(F.col("vars"), "q!value"),
+                Foreach("$.c", F.element_at(F.col("vars"), ".q!value"),
                         mode="auto", body=[
                     Action("inner", F.concat(
-                        F.element_at(F.col("vars"), "q!key"),
+                        F.element_at(F.col("vars"), ".q!key"),
                         F.lit(":"),
-                        F.element_at(F.col("vars"), "c!value"),
+                        F.element_at(F.col("vars"), ".c!value"),
                     )),
                 ]),
             ]),
@@ -193,9 +193,9 @@ class TestConfigExpressions:
         src = df.withColumn("syslogseverity", F.col("sev"))
         ann, _ = compile_config(src, conf, entry="c")
         r = ann.filter(F.col("i") == 1).select("vars").first()["vars"]
-        assert r["a"] == "14" and r["b"] == "20"
-        assert r["c"] == "0" and r["d"] == "0"  # div-0 -> 0
-        assert r["e"] == "8" and r["f"] == "5"  # left-assoc
+        assert r[".a"] == "14" and r[".b"] == "20"
+        assert r[".c"] == "0" and r[".d"] == "0"  # div-0 -> 0
+        assert r[".e"] == "8" and r[".f"] == "5"  # left-assoc
 
     def test_functions_in_config(self, df):
         from rsyslog_spark.lookup import LookupTable
@@ -215,12 +215,12 @@ class TestConfigExpressions:
         ann, _ = compile_config(df, conf, entry="c",
                                 lookups={"cls": lt})
         r = ann.filter(F.col("i") == 2).select("vars").first()["vars"]
-        assert r["len"] == "3"
-        assert r["fld"] == '"q"'  # ["p","q","r"] split on ',' field 2
-        assert r["hex"] == "ff"
-        assert r["lk"] == "L"
-        assert r["w"] == '"abc"'
-        assert r["sub"] == "lo"
+        assert r[".len"] == "3"
+        assert r[".fld"] == '"q"'  # ["p","q","r"] split on ',' field 2
+        assert r[".hex"] == "ff"
+        assert r[".lk"] == "L"
+        assert r[".w"] == '"abc"'
+        assert r[".sub"] == "lo"
 
     def test_script_error_and_parse_json(self, df):
         conf = """
@@ -239,13 +239,13 @@ class TestConfigExpressions:
             for r in ann.select("i", "vars").collect()
         }
         # row 1: object parses, key a present
-        assert rows[1]["e1"] == "0" and rows[1]["a"] == "1"
-        assert rows[1]["e2"] == "0"
+        assert rows[1][".e1"] == "0" and rows[1][".a"] == "1"
+        assert rows[1][".e2"] == "0"
         # row 3: not JSON -> parse_json EINVAL; get_property misses
-        assert rows[3]["e1"] == "1" and rows[3]["a"] == ""
-        assert rows[3]["e2"] == "1"
+        assert rows[3][".e1"] == "1" and rows[3][".a"] == ""
+        assert rows[3][".e2"] == "1"
         # parse_time on non-time strings: 0 + EINVAL for everyone
-        assert all(v["pt"] == "0" and v["e3"] == "1" for v in rows.values())
+        assert all(v[".pt"] == "0" and v[".e3"] == "1" for v in rows.values())
 
     def test_not_binds_tightest(self, df):
         # grammar.y %nonassoc NOT at the TOP precedence level:
@@ -304,10 +304,10 @@ class TestBooleanRendering:
         """
         ann, _ = compile_config(df, conf, entry="c")
         r = ann.filter(F.col("i") == 1).select("vars").first()["vars"]
-        assert r["a"] == "1-0"
-        assert r["b"] == "1"
-        assert r["c"] == "6"
-        assert r["d"] == "1"  # POSIX search: 'b.' matches 'bc' in 'abc'
+        assert r[".a"] == "1-0"
+        assert r[".b"] == "1"
+        assert r[".c"] == "6"
+        assert r[".d"] == "1"  # POSIX search: 'b.' matches 'bc' in 'abc'
 
 
 class TestAdviceR02Fixes:
@@ -326,7 +326,7 @@ class TestAdviceR02Fixes:
                     F.coalesce(F.element_at(F.col("vars"), "env"),
                                F.lit("<null>")),
                     F.lit(":"),
-                    F.element_at(F.col("vars"), "e!value"),
+                    F.element_at(F.col("vars"), ".e!value"),
                 )),
             ]),
         ]))
@@ -350,7 +350,7 @@ class TestAdviceR02Fixes:
             ]),
         ])).add(Ruleset("ok_nested", [
             Foreach("$.q", F.col("payload"), mode="auto", body=[
-                Foreach("$.c", F.element_at(F.col("vars"), "q!value"),
+                Foreach("$.c", F.element_at(F.col("vars"), ".q!value"),
                         mode="auto", body=[
                     Set("$.c", F.lit("x")),  # inner loop var: allowed
                 ]),
@@ -382,13 +382,13 @@ class TestAdviceR02Fixes:
         ann, _ = compile_config(df, conf, entry="c")
         rows = {r["i"]: r["vars"] for r in ann.select("i", "vars").collect()}
         # everyone starts clean
-        assert all(v["e0"] == "0" for v in rows.values())
+        assert all(v[".e0"] == "0" for v in rows.values())
         # row 1 (cls=high): branch taken -> parse_time EINVAL
-        assert rows[1]["e1"] == "1"
+        assert rows[1][".e1"] == "1"
         # rows on the else path keep errno 0
-        assert rows[2]["e1"] == "0"
-        assert rows[3]["e1"] == "0"
-        assert rows[4]["e1"] == "0"
+        assert rows[2][".e1"] == "0"
+        assert rows[3][".e1"] == "0"
+        assert rows[4][".e1"] == "0"
 
     def test_string_true_is_not_numeric(self, spark):
         # reference var2Number('true') == 0: '$!x + 1' is 1, and
@@ -406,6 +406,97 @@ class TestAdviceR02Fixes:
         """
         ann, _ = compile_config(d, conf, entry="c")
         r = ann.select("vars").first()["vars"]
-        assert r["plus"] == "1"
-        assert r["cmp"] == "0"
-        assert r["ps"] == "2"
+        assert r[".plus"] == "1"
+        assert r[".cmp"] == "0"
+        assert r[".ps"] == "2"
+
+
+class TestLocalVarNamespace:
+    """r5: $. locals are a DISTINCT namespace from the $! message tree
+    ('.'-prefixed keys), matching the reference's separate json/
+    localvars trees (runtime/msg.c:681-684). Before r5 both spellings
+    aliased to one key — the r4 verdict's silent-wrong-answer class."""
+
+    def test_same_name_different_trees(self, spark):
+        d = spark.createDataFrame([(1,)], "i int")
+        conf = """
+        template(name="t" type="string" string="%$!x%|%$.x%")
+        ruleset(name="c") {
+            set $!x = "msgtree";
+            set $.x = "local";
+            action(type="omfile" file="/x/out.log" template="t")
+        }
+        """
+        ann, actions = compile_config(d, conf, entry="c")
+        a = actions[0]
+        assert a.output(ann).first()[a.out_col] == "msgtree|local"
+
+    def test_routing_on_distinct_vars(self, spark):
+        d = spark.createDataFrame([(1,), (2,)], "i int")
+        conf = """
+        ruleset(name="c") {
+            set $!flag = "yes";
+            if $i == 1 then { set $.flag = "yes"; }
+            if $.flag == "yes" then {
+                action(type="omfile" file="/x/local.log")
+            }
+            if $!flag == "yes" then {
+                action(type="omfile" file="/x/tree.log")
+            }
+        }
+        """
+        ann, actions = compile_config(d, conf, entry="c")
+        by = {a.sink: a for a in actions}
+        assert sorted(
+            r["i"] for r in by["local"].output(ann).collect()
+        ) == [1]
+        assert sorted(
+            r["i"] for r in by["tree"].output(ann).collect()
+        ) == [1, 2]
+
+    def test_bare_roots_exclude_each_other(self, spark):
+        d = spark.createDataFrame([(1,)], "i int")
+        conf = """
+        template(name="tmsg" type="string" string="%$!%")
+        template(name="tloc" type="string" string="%$.%")
+        ruleset(name="c") {
+            set $!a = "A";
+            set $.b = "B";
+            action(type="omfile" file="/x/m.log" template="tmsg")
+            action(type="omfile" file="/x/l.log" template="tloc")
+        }
+        """
+        ann, actions = compile_config(d, conf, entry="c")
+        by = {a.sink: a for a in actions}
+        assert by["m"].output(ann).first()[by["m"].out_col] == \
+            '{ "a": "A" }'
+        assert by["l"].output(ann).first()[by["l"].out_col] == \
+            '{ "b": "B" }'
+
+    def test_unset_is_tree_scoped(self, spark):
+        d = spark.createDataFrame([(1,)], "i int")
+        conf = """
+        template(name="t" type="string" string="%$!x%|%$.x%")
+        ruleset(name="c") {
+            set $!x = "keep";
+            set $.x = "gone";
+            unset $.x;
+            action(type="omfile" file="/x/out.log" template="t")
+        }
+        """
+        ann, actions = compile_config(d, conf, entry="c")
+        a = actions[0]
+        assert a.output(ann).first()[a.out_col] == "keep|"
+
+    def test_parse_json_into_local_container(self, spark):
+        d = spark.createDataFrame([(1, '{"k":"v"}')], "i int, payload string")
+        conf = """
+        ruleset(name="c") {
+            set $.ok = parse_json($payload, "$.doc");
+            set $.got = get_property($.doc, "k");
+        }
+        """
+        ann, _ = compile_config(d, conf, entry="c")
+        r = ann.select("vars").first()["vars"]
+        assert r[".got"] == "v"
+        assert ".doc" in r and "doc" not in r

@@ -211,8 +211,8 @@ class TestFailover:
         ann, _ = compile_config(df, conf, entry="fo",
                                 suspended_sinks={"pri"})
         r = ann.select("vars").first()["vars"]
-        assert r["pas"] == "1"   # pri is down
-        assert r["pas2"] == "0"  # other delivered fine
+        assert r[".pas"] == "1"   # pri is down
+        assert r[".pas2"] == "0"  # other delivered fine
 
 
 class TestBreDialect:
