@@ -432,6 +432,36 @@ def q_mm_rewrite(spark, sf_dir):
         ).otherwise(F.lit("not an audit line")),
     )
     norm = mods.mm_audit(norm, msg_col="audit_line", vars_col="auditvars")
+    # r5 facet: mmgrok over the real msg (search semantics, composite
+    # patterns, typed-key suffix ignored)
+    norm = mods.mm_grok(
+        norm, "msgnum:%{NONNEGINT:gnum:int} %{WORD:gword}",
+        target="!gk", source_col="msg", vars_col="grokvars",
+    )
+    # r5 facet: the four new liblognorm v1 field types over a
+    # natively-built device line (mac from i's octets, float, ipv6
+    # constant, name-value-list span)
+    def _oct(c):
+        return F.lower(F.lpad(F.hex(c.cast("int")), 2, "0"))
+
+    mac = F.concat_ws(
+        ":", _oct(F.col("i") % 256), _oct((F.col("i") * 7) % 256),
+        _oct((F.col("i") * 13) % 256), F.lit("00"), F.lit("1b"),
+        F.lit("63"),
+    )
+    dev_line = F.concat(
+        F.lit("dev "), mac, F.lit(" t="), i_s, F.lit("."),
+        (F.col("i") % 10).cast("string"), F.lit(" ip6=::1 kv=a="), i_s,
+        F.lit(" b=2"),
+    )
+    rb2 = (
+        "rule=DEV:dev %mac:mac48% t=%t:float% ip6=%a6:ipv6% "
+        "kv=%kv:name-value-list%"
+    )
+    norm = norm.withColumn("dev_line", dev_line).withColumn(
+        "rb2map",
+        mods.rulebase_map_expr(F.col("dev_line"), mods.parse_rulebase(rb2)),
+    )
     # mmtaghostname: tag= replaces the TAG wholesale (programname
     # re-derived, stops at '['), forcelocalhostname pins hostname
     norm = mods.mm_taghostname(
@@ -472,6 +502,12 @@ def q_mm_rewrite(spark, sf_dir):
         F.regexp_replace(
             F.col("structured_data"), "[0-9a-f]{64}", "H"
         ).alias("hm_shape"),
+        F.element_at("grokvars", "gk!gnum").alias("gk_num"),
+        F.element_at("grokvars", "gk!gword").alias("gk_word"),
+        F.element_at("rb2map", "mac").alias("ln_mac"),
+        F.element_at("rb2map", "t").alias("ln_t"),
+        F.element_at("rb2map", "a6").alias("ln_a6"),
+        F.element_at("rb2map", "kv").alias("ln_kv"),
     )
 
 
@@ -1740,7 +1776,20 @@ def oracle_sql() -> dict[str, str]:
         # sha256 in DuckDB; byte-exact digests in pytest)
         "CASE WHEN protocol_version = 1 THEN "
         "'[exampleSDID@32473 k=\"v\"][hm@1 hash=\"H\"]' "
-        "ELSE structured_data END AS hm_shape "
+        "ELSE structured_data END AS hm_shape, "
+        # mmgrok facets: unanchored search; WORD = \\b\\w+\\b
+        "CASE WHEN regexp_matches(msg, 'msgnum:([0-9]+) ([A-Za-z0-9_]+)')"
+        " THEN regexp_extract(msg, 'msgnum:([0-9]+) ([A-Za-z0-9_]+)', 1)"
+        " END AS gk_num, "
+        "CASE WHEN regexp_matches(msg, 'msgnum:([0-9]+) ([A-Za-z0-9_]+)')"
+        " THEN regexp_extract(msg, 'msgnum:([0-9]+) ([A-Za-z0-9_]+)', 2)"
+        " END AS gk_word, "
+        # liblognorm new-type facets: closed-form device line
+        "printf('%02x:%02x:%02x:00:1b:63', i % 256, (i * 7) % 256, "
+        "(i * 13) % 256) AS ln_mac, "
+        "CAST(i AS VARCHAR) || '.' || CAST(i % 10 AS VARCHAR) AS ln_t, "
+        "'::1' AS ln_a6, "
+        "'a=' || CAST(i AS VARCHAR) || ' b=2' AS ln_kv "
         "FROM p WHERE parse_success"
     )
     # --- dataops oracles ---------------------------------------------------

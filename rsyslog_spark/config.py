@@ -60,6 +60,7 @@ from rsyslog_spark.route import (
     Call,
     CallIndirect,
     Foreach,
+    Grok,
     If,
     Normalize,
     RouteCompiler,
@@ -611,6 +612,35 @@ class _Parser:
             # plugins/mmaudit: no instance parameters (instanceData is
             # a dummy, mmaudit.c:65-67)
             return Audit()
+        if typ == "mmgrok":
+            # contrib/mmgrok param block (:64-69): patterndir, match,
+            # source, target. ``source`` is parsed but then overwritten
+            # with the MSG pointer in doAction (mmgrok.c:336-346) —
+            # accepted and ignored for parity. target defaults to "!"
+            # (the $! root, :175-177). A missing/uncompilable match is
+            # surfaced HERE (the C fails grok_compile per message,
+            # turning the action into a silent no-op — loud beats
+            # silent).
+            match = p.get("match")
+            if match is None:
+                raise ValueError(
+                    "mmgrok: 'match' is required in this engine (the "
+                    "reference's NULL match fails grok_compile on "
+                    "every message, mmgrok.c:294-299)"
+                )
+            patterns = None
+            if "patterndir" in p:
+                from rsyslog_spark.mods import load_grok_patterns
+
+                patterns = load_grok_patterns(p["patterndir"])
+            from rsyslog_spark.mods import grok_compile
+
+            grok_compile(match, patterns)  # config-time validation
+            return Grok(
+                match=match,
+                target=p.get("target", "!"),
+                patterns=patterns,
+            )
         if typ == "mmrfc5424addhmac":
             # all three params are mandatory (eCmdHdlrString flag 1,
             # mmrfc5424addhmac.c:95-99)

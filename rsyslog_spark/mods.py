@@ -1095,7 +1095,7 @@ def grok_map_expr(
         F.split(cleaned, "\n"),
         lambda x: (x != "") & x.rlike(regex),
     )
-    chosen = F.element_at(lines, -1)
+    chosen = F.try_element_at(lines, F.lit(-1))  # NULL when no line matched
     entries = []
     for key, grp in keys:
         entries.append(F.lit(key))
@@ -1123,7 +1123,9 @@ def mm_grok(
     regex, keys = grok_compile(match, patterns)
     t = target if target.startswith("$") else "$" + target
     prefix = var_key(t)
-    prefix = prefix + "!" if prefix and not prefix.endswith("!") else prefix
+    root = prefix in ("", ".")  # bare $! / $. roots
+    if not root:
+        prefix += "!"
     gm = grok_map_expr(F.col(source_col), regex, keys)
     nc = f"_grok_{source_col}"
     df = df.withColumn(nc, gm)
@@ -1136,11 +1138,15 @@ def mm_grok(
             vars_col, F.create_map().cast("map<string,string>")
         )
     cur = F.col(vars_col)
-    # msgAddJSON replaces the target subtree: drop old prefix keys
-    merged = F.map_concat(
-        F.map_filter(cur, lambda k, _: ~k.startswith(prefix)),
-        prefixed,
-    )
+    # msgAddJSON: a subtree target is REPLACED wholesale; a root
+    # target replaces per incoming key
+    if root:
+        keep = F.map_filter(
+            cur, lambda k, _: ~F.array_contains(F.map_keys(prefixed), k)
+        )
+    else:
+        keep = F.map_filter(cur, lambda k, _: ~k.startswith(prefix))
+    merged = F.map_concat(keep, prefixed)
     return df.withColumn(
         vars_col, F.when(got, merged).otherwise(cur)
     ).drop(nc)

@@ -162,6 +162,16 @@ class Audit:
 
 
 @dataclass
+class Grok:
+    """action(type="mmgrok"): grok-parse MSG into the ``target``
+    subtree (contrib/mmgrok/mmgrok.c doAction :330-352; compiled match
+    regex + key->group table prepared at config time)."""
+    match: str
+    target: str = "!"
+    patterns: dict | None = None
+
+
+@dataclass
 class AddHmac:
     """action(type="mmrfc5424addhmac"): HMAC the raw message and append
     it as an SD element to RFC5424 messages (contrib/mmrfc5424addhmac/
@@ -299,7 +309,7 @@ def _check_foreach_body(
                 "in this engine (the loop runs on a branched exploded "
                 "frame); restructure as an if around the loop"
             )
-        elif isinstance(st, (Normalize, Audit, TagHostname, AddHmac)):
+        elif isinstance(st, (Normalize, Audit, TagHostname, AddHmac, Grok)):
             raise ValueError(
                 f"{type(st).__name__} inside a foreach body mutates "
                 "message state outside the loop variable, which does "
@@ -324,7 +334,7 @@ def _check_foreach_body(
 
 def _has_mutation(stmts: list) -> bool:
     for st in stmts:
-        if isinstance(st, (Set, Unset, Foreach, Normalize, Audit)):
+        if isinstance(st, (Set, Unset, Foreach, Normalize, Audit, Grok)):
             return True
         for sub in ("then", "els", "body"):
             if hasattr(st, sub) and _has_mutation(getattr(st, sub)):
@@ -543,6 +553,8 @@ class RouteCompiler:
                 self._apply_audit(path & ~stopped)
             elif isinstance(st, AddHmac):
                 self._apply_addhmac(st, path & ~stopped)
+            elif isinstance(st, Grok):
+                self._apply_grok(st, path & ~stopped)
             elif isinstance(st, Call):
                 if st.ruleset in calling:
                     raise ValueError(f"recursive call to {st.ruleset}")
@@ -729,6 +741,43 @@ class RouteCompiler:
         self._df = self._df.withColumn(
             "structured_data",
             F.when(take, F.col(nc)).otherwise(F.col("structured_data")),
+        ).drop(nc)
+
+    def _apply_grok(self, st: Grok, active: Column):
+        """mmgrok doAction (contrib/mmgrok/mmgrok.c:330-352): grok the
+        MSG lines, msgAddJSON the LAST matching line's captures to the
+        target subtree (replace semantics). Pure column expressions."""
+        from rsyslog_spark.mods import grok_compile, grok_map_expr
+        from rsyslog_spark.templates import var_key
+
+        regex, keys = grok_compile(st.match, st.patterns)
+        t = st.target if st.target.startswith("$") else "$" + st.target
+        prefix = var_key(t)
+        root = prefix in ("", ".")  # bare $! / $. roots
+        if not root:
+            prefix += "!"
+        nc = self._fresh("grok")
+        self._df = self._df.withColumn(
+            nc, grok_map_expr(F.col("msg"), regex, keys)
+        )
+        got = active & F.col(nc).isNotNull()
+        v = self._vars_col
+        cur = F.col(v)
+        prefixed = F.transform_keys(
+            F.col(nc), lambda k, _: F.concat(F.lit(prefix), k)
+        )
+        if root:
+            # root target: the incoming keys replace per-key
+            keep = F.map_filter(
+                cur,
+                lambda k, _: ~F.array_contains(F.map_keys(prefixed), k),
+            )
+        else:
+            # subtree target: msgAddJSON replaces the whole subtree
+            keep = F.map_filter(cur, lambda k, _: ~k.startswith(prefix))
+        merged = F.map_concat(keep, prefixed)
+        self._df = self._df.withColumn(
+            v, F.when(got, merged).otherwise(cur)
         ).drop(nc)
 
     def _apply_unset(self, st: Unset, active: Column):

@@ -315,3 +315,152 @@ ruleset(name="r") {{
                 _parsed_df(spark, [RAW_5424]), key="k",
                 hashfunction="not-a-digest", sd_id="x@1",
             )
+
+
+class TestGrokCompile:
+    """grok_compile: %{NAME:key[:type]} expansion, numbering, errors."""
+
+    def test_basic_compile(self):
+        from rsyslog_spark.mods import grok_compile
+
+        regex, keys = grok_compile(
+            "%{IPV4:client} %{WORD:method} %{NOTSPACE:path}"
+        )
+        assert [k for k, _ in keys] == ["client", "method", "path"]
+        import re
+
+        m = re.search(regex, "10.0.0.1 GET /index.html")
+        assert m.group(1) == "10.0.0.1"
+        assert m.group(2) == "GET"
+        assert m.group(3) == "/index.html"
+
+    def test_unnamed_and_type_suffix(self):
+        from rsyslog_spark.mods import grok_compile
+
+        # unnamed refs don't capture; :type is parsed then ignored
+        regex, keys = grok_compile("%{WORD} id=%{INT:id:int}")
+        assert keys == [("id", 1)]
+        import re
+
+        assert re.search(regex, "x id=-42").group(1) == "-42"
+
+    def test_composite_patterns_keep_numbering(self):
+        from rsyslog_spark.mods import grok_compile
+
+        # NUMBER expands through BASE10NUM; SYSLOGTIMESTAMP through
+        # MONTH/MONTHDAY/TIME — inner groups must not shift numbering
+        regex, keys = grok_compile(
+            "%{SYSLOGTIMESTAMP:ts} v=%{NUMBER:v}"
+        )
+        assert keys == [("ts", 1), ("v", 2)]
+        import re
+
+        m = re.search(regex, "Mar  8 11:53:48 v=2.5")
+        assert m.group(1) == "Mar  8 11:53:48" and m.group(2) == "2.5"
+
+    def test_unknown_pattern_loud(self):
+        from rsyslog_spark.mods import grok_compile
+
+        with pytest.raises(ValueError, match="unknown grok pattern"):
+            grok_compile("%{NOPE:x}")
+
+    def test_cycle_detected(self):
+        from rsyslog_spark.mods import grok_compile
+
+        with pytest.raises(ValueError, match="recursion"):
+            grok_compile("%{A:x}", {"A": "%{B}", "B": "%{A}"})
+
+    def test_duplicate_key_last_wins(self):
+        from rsyslog_spark.mods import grok_compile
+
+        regex, keys = grok_compile("%{WORD:k} %{WORD:k}")
+        assert keys == [("k", 2)]
+
+    def test_patterndir_file(self, tmp_path):
+        from rsyslog_spark.mods import grok_compile, load_grok_patterns
+
+        pf = tmp_path / "custom.patterns"
+        pf.write_text("# custom\nMYAPP app-[a-z]+\n")
+        pats = load_grok_patterns(str(pf))
+        regex, keys = grok_compile("%{MYAPP:app}", pats)
+        import re
+
+        assert re.search(regex, "x app-foo y").group(1) == "app-foo"
+
+
+class TestMMGrok:
+    def _df(self, spark, msgs):
+        rows = [(i, m) for i, m in enumerate(msgs)]
+        return spark.createDataFrame(rows, "i long, msg string")
+
+    def test_dataframe_level(self, spark):
+        from rsyslog_spark.mods import mm_grok
+
+        df = self._df(spark, [
+            "client 10.1.2.3 did GET",
+            "no match here",
+        ])
+        out = mm_grok(
+            df, "client %{IPV4:ip} did %{WORD:verb}", target="!grok"
+        )
+        rows = {r["i"]: dict(r["vars"]) for r in out.collect()}
+        assert rows[0] == {"grok!ip": "10.1.2.3", "grok!verb": "GET"}
+        assert rows[1] == {}  # unmatched: target never written
+
+    def test_last_matching_line_wins(self, spark):
+        from rsyslog_spark.mods import mm_grok
+
+        # doAction splits on newlines; msgAddJSON per line REPLACES the
+        # target, so the last matching line's captures survive
+        df = self._df(spark, ["id=1\nnot a match\nid=2"])
+        out = mm_grok(df, "id=%{INT:n}", target="!g")
+        assert dict(out.first()["vars"]) == {"g!n": "2"}
+
+    def test_leading_whitespace_and_search_semantics(self, spark):
+        from rsyslog_spark.mods import mm_grok
+
+        # grok_exec is a SEARCH, not anchored; leading ws skipped
+        df = self._df(spark, ["   prefix id=7 suffix"])
+        out = mm_grok(df, "id=%{INT:n}", target="!g")
+        assert dict(out.first()["vars"]) == {"g!n": "7"}
+
+    def test_config_text_action(self, spark):
+        conf = """
+template(name="t" type="string" string="%$!g!ip%/%$!g!host%")
+ruleset(name="r") {
+    action(type="mmgrok" match="from %{IPV4:ip} host %{WORD:host}"
+           target="!g")
+    if ($!g!ip != "") then {
+        action(type="omfile" file="/x/grok.log" template="t")
+    }
+}
+"""
+        df = self._df(spark, ["from 192.168.0.9 host web01", "nope"])
+        ann, actions = compile_config(df, conf, entry="r")
+        assert _render(ann, actions, "grok") == ["192.168.0.9/web01"]
+
+    def test_config_missing_match_loud(self, spark):
+        with pytest.raises(ValueError, match="match"):
+            compile_config(
+                self._df(spark, ["x"]),
+                'ruleset(name="r") { action(type="mmgrok") }',
+                entry="r",
+            )
+
+    def test_target_replace_semantics(self, spark):
+        from pyspark.sql import functions as F
+
+        from rsyslog_spark.mods import mm_grok
+
+        # pre-existing subtree keys are wiped by msgAddJSON replace
+        df = self._df(spark, ["id=5"]).withColumn(
+            "vars",
+            F.create_map(
+                F.lit("g!old"), F.lit("stale"),
+                F.lit("other"), F.lit("keep"),
+            ),
+        )
+        out = mm_grok(df, "id=%{INT:n}", target="!g")
+        assert dict(out.first()["vars"]) == {
+            "other": "keep", "g!n": "5",
+        }
