@@ -9,7 +9,18 @@ for dedup: every LSH bucket carries REPLICAS-fold collisions and the
 clusterer sees 5k clusters of size REPLICAS). Transcripts: the bench's
 materialized 30x table (3M rows) for flagship.
 
-Usage: python tools/scale_rehearsal.py [replicas]
+Usage: python tools/scale_rehearsal.py [replicas] [dup_factor]
+
+``dup_factor`` (default = replicas) caps the exact-duplication
+multiplicity: replica i gets a ' v<i // dup_factor>' text suffix, so
+each distinct text has exactly ``dup_factor`` copies. r5 finding: at
+replicas=100 with FULL 100-fold duplication the exact-Jaccard verify
+join must shuffle ~24.7M candidate pairs x ~100 shingles each — >79 GB,
+past this sandbox's free disk (No space left on device, stage 35). The
+production mitigation is the engine's own exact-dedup pre-pass
+(dedup_exact collapses 100 copies to 1 before near-dup ever runs);
+for the rehearsal, dup_factor keeps the duplication adversarial while
+scaling PAIR volume by the intended decade.
 """
 
 from __future__ import annotations
@@ -24,6 +35,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F  # noqa: E402
 
 REPLICAS = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+DUP_FACTOR = int(sys.argv[2]) if len(sys.argv) > 2 else REPLICAS
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
@@ -52,12 +64,20 @@ def main():
     spark = get_spark(cores=32)
     out = {"replicas": REPLICAS, "sf_base": SF_DIR}
 
+    out["dup_factor"] = DUP_FACTOR
     base = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     docs = None
     for i in range(REPLICAS):
+        text = (
+            F.col("text")
+            if DUP_FACTOR >= REPLICAS
+            else F.concat(
+                F.col("text"), F.lit(f" v{i // DUP_FACTOR}")
+            )
+        )
         part = base.select(
             (F.col("doc_id") + i * 10_000_000).alias("doc_id"),
-            "lang", "text",
+            "lang", text.alias("text"),
         )
         docs = part if docs is None else docs.unionByName(part)
     docs = docs.repartition(64).persist()
