@@ -500,3 +500,20 @@ class TestLocalVarNamespace:
         r = ann.select("vars").first()["vars"]
         assert r[".got"] == "v"
         assert ".doc" in r and "doc" not in r
+
+    def test_subtree_template_local_root(self, spark):
+        from rsyslog_spark.templates import subtree_template
+
+        d = spark.createDataFrame([(1,)], "i int").withColumn(
+            "vars",
+            F.create_map(
+                F.lit(".x"), F.lit("L"),
+                F.lit("m"), F.lit("M"),
+            ),
+        )
+        out = d.select(
+            subtree_template("$.").alias("loc"),
+            subtree_template("$!").alias("msg"),
+        ).first()
+        assert out["loc"] == '{"x":"L"}'
+        assert out["msg"] == '{"m":"M"}'

@@ -11,16 +11,19 @@ materialized 30x table (3M rows) for flagship.
 
 Usage: python tools/scale_rehearsal.py [replicas] [dup_factor]
 
-``dup_factor`` (default = replicas) caps the exact-duplication
-multiplicity: replica i gets a ' v<i // dup_factor>' text suffix, so
-each distinct text has exactly ``dup_factor`` copies. r5 finding: at
-replicas=100 with FULL 100-fold duplication the exact-Jaccard verify
-join must shuffle ~24.7M candidate pairs x ~100 shingles each — >79 GB,
-past this sandbox's free disk (No space left on device, stage 35). The
-production mitigation is the engine's own exact-dedup pre-pass
-(dedup_exact collapses 100 copies to 1 before near-dup ever runs);
-for the rehearsal, dup_factor keeps the duplication adversarial while
-scaling PAIR volume by the intended decade.
+``dup_factor`` (default = replicas) caps the duplication multiplicity:
+replica i's text is Caesar-shifted by ``i // dup_factor`` alphabet
+positions, so each variant family shares ZERO shingles with the others
+(a one-token suffix is NOT enough — 97% shingle overlap keeps all 100
+replicas LSH-colliding) while every text inside a family has exactly
+``dup_factor`` exact copies. r5 finding: at replicas=100 with FULL
+100-fold duplication the exact-Jaccard verify join must shuffle ~24.7M
+candidate pairs x ~100 shingles each — past this sandbox's ~80 GB free
+disk (No space left on device, stage 35). The production mitigation is
+the engine's own exact-dedup pre-pass (dedup_exact collapses 100
+copies to 1 before near-dup ever runs); for the rehearsal, dup_factor
+keeps the duplication adversarial while scaling PAIR volume by the
+intended decade.
 """
 
 from __future__ import annotations
@@ -67,12 +70,14 @@ def main():
     out["dup_factor"] = DUP_FACTOR
     base = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     docs = None
+    alpha = "abcdefghijklmnopqrstuvwxyz"
     for i in range(REPLICAS):
+        v = i // DUP_FACTOR
         text = (
             F.col("text")
-            if DUP_FACTOR >= REPLICAS
-            else F.concat(
-                F.col("text"), F.lit(f" v{i // DUP_FACTOR}")
+            if v == 0
+            else F.translate(
+                F.col("text"), alpha, alpha[v:] + alpha[:v]
             )
         )
         part = base.select(
