@@ -462,6 +462,29 @@ def q_mm_rewrite(spark, sf_dir):
         "rb2map",
         mods.rulebase_map_expr(F.col("dev_line"), mods.parse_rulebase(rb2)),
     )
+    # r5 facet, second batch: duration / hexnumber / time-24hr /
+    # kernel-timestamp / iptables-span / string-to (multi-char stop,
+    # not consumed) / whitespace-discard, one anchored rule over a
+    # natively-built session line (closed-form for the oracle)
+    sess_line = F.concat(
+        F.lit("sess  ["), (F.col("i") + 10000).cast("string"),
+        F.lit(".000042] "), (F.col("i") % 100).cast("string"),
+        F.lit(":05:09 id=0x"), F.lower(F.hex(F.col("i"))),
+        F.lit(" at "),
+        F.lpad((F.col("i") % 24).cast("string"), 2, "0"),
+        F.lit(":30:59 IN=eth0 OUT= SRC=10.0.0."),
+        (F.col("i") % 256).cast("string"),
+        F.lit(" note w"), i_s, F.lit(" x END"),
+    )
+    rb3 = (
+        "rule=SESS:sess%-:whitespace%%kts:kernel-timestamp% "
+        "%d:duration% id=%h:hexnumber% at %t24:time-24hr% "
+        "%ipt:iptables% note %note:string-to: END% END"
+    )
+    norm = norm.withColumn("sess_line", sess_line).withColumn(
+        "rb3map",
+        mods.rulebase_map_expr(F.col("sess_line"), mods.parse_rulebase(rb3)),
+    )
     # mmtaghostname: tag= replaces the TAG wholesale (programname
     # re-derived, stops at '['), forcelocalhostname pins hostname
     norm = mods.mm_taghostname(
@@ -508,6 +531,12 @@ def q_mm_rewrite(spark, sf_dir):
         F.element_at("rb2map", "t").alias("ln_t"),
         F.element_at("rb2map", "a6").alias("ln_a6"),
         F.element_at("rb2map", "kv").alias("ln_kv"),
+        F.element_at("rb3map", "kts").alias("ln_kts"),
+        F.element_at("rb3map", "d").alias("ln_dur"),
+        F.element_at("rb3map", "h").alias("ln_hex"),
+        F.element_at("rb3map", "t24").alias("ln_t24"),
+        F.element_at("rb3map", "ipt").alias("ln_ipt"),
+        F.element_at("rb3map", "note").alias("ln_note"),
     )
 
 
@@ -1789,7 +1818,15 @@ def oracle_sql() -> dict[str, str]:
         "(i * 13) % 256) AS ln_mac, "
         "CAST(i AS VARCHAR) || '.' || CAST(i % 10 AS VARCHAR) AS ln_t, "
         "'::1' AS ln_a6, "
-        "'a=' || CAST(i AS VARCHAR) || ' b=2' AS ln_kv "
+        "'a=' || CAST(i AS VARCHAR) || ' b=2' AS ln_kv, "
+        # second-batch liblognorm facets: closed-form session line
+        "'[' || CAST(i + 10000 AS VARCHAR) || '.000042]' AS ln_kts, "
+        "CAST(i % 100 AS VARCHAR) || ':05:09' AS ln_dur, "
+        "printf('0x%x', i) AS ln_hex, "
+        "lpad(CAST(i % 24 AS VARCHAR), 2, '0') || ':30:59' AS ln_t24, "
+        "'IN=eth0 OUT= SRC=10.0.0.' || CAST(i % 256 AS VARCHAR) "
+        "AS ln_ipt, "
+        "'w' || CAST(i AS VARCHAR) || ' x' AS ln_note "
         "FROM p WHERE parse_success"
     )
     # --- dataops oracles ---------------------------------------------------

@@ -201,6 +201,27 @@ _LN_TYPES = {
     # captures the whole span (v1's per-pair sub-field explosion is
     # not modeled — the span is the stringly-typed bag's analog)
     "name-value-list": r"[^= ]+=[^ ]*(?: [^= ]+=[^ ]*)*",
+    # r5 additions, second batch (remaining v1 simple types):
+    # hexnumber: "0x" + 1..n hex digits (v1 doc: begins with "0x",
+    # followed by one or more hex digits)
+    "hexnumber": r"0x[0-9A-Fa-f]+",
+    # whitespace: all whitespace up to the first non-whitespace char
+    # (usually used with the discard name '-')
+    "whitespace": r"\s+",
+    # duration: hh:mm:ss where hours may exceed two digits
+    "duration": r"\d+:\d{2}:\d{2}",
+    # time-24hr / time-12hr: HH:MM:SS with 24h (00-23) / 12h (0-12,
+    # optional leading zero) hour ranges
+    "time-24hr": r"(?:[01]\d|2[0-3]):[0-5]\d:[0-5]\d",
+    "time-12hr": r"(?:1[0-2]|0?\d):[0-5]\d:[0-5]\d",
+    # kernel-timestamp: [ddddd.dddddd], integer part 5..12 digits,
+    # fraction exactly 6 (v1 doc)
+    "kernel-timestamp": r"\[\d{5,12}\.\d{6}\]",
+    # iptables: space-separated name=value pairs where the value may
+    # be empty or the name may stand alone (iptables log lines:
+    # "IN=eth0 OUT= MAC=... SRC=..."); like name-value-list the FIELD
+    # captures the whole span, per-pair sub-fields are not modeled
+    "iptables": r"[^= ]+(?:=[^ ]*)?(?: [^= ]+(?:=[^ ]*)?)*",
 }
 
 
@@ -267,6 +288,16 @@ def _parse_ln_type(tspec: str, pat: str, allow_regex: bool):
     t, _, extra = tspec.partition(":")
     if t in ("char-to", "char-sep"):
         return (t, _decode_stop_char(extra, pat, t))
+    if t == "string-to":
+        # v1 string-to: field is everything up to the (multi-char)
+        # stop string in extra data; the stop string is NOT consumed —
+        # parsing resumes at it, so the rule pattern carries it as a
+        # literal after the field (char-to semantics generalized)
+        if not extra:
+            raise ValueError(
+                f"liblognorm string-to needs a stop string: {pat!r}"
+            )
+        return ("string-to", _decode_hex_escapes(extra))
     if t == "regex":
         # liblognorm regex field_type (ERE, compiled with the
         # liblognorm-bundled engine) — gated exactly like the
@@ -307,7 +338,8 @@ def _parse_ln_type(tspec: str, pat: str, allow_regex: bool):
         return t
     raise ValueError(
         f"unsupported liblognorm field type {t!r} (supported: "
-        f"{sorted(_LN_TYPES)} + char-to/char-sep/regex/tokenized)"
+        f"{sorted(_LN_TYPES)} + char-to/char-sep/string-to/regex/"
+        f"tokenized)"
     )
 
 
@@ -323,6 +355,10 @@ def _ln_type_frag(ftype) -> str:
             # like char-to but the field may also end the line -> empty
             # match allowed (liblognorm char-sep semantics)
             return "[^" + _re.escape(ftype[1]) + "]*"
+        if kind == "string-to":
+            # 1+ chars none of which starts the stop string (the stop
+            # string itself stays in the input as the next literal)
+            return "(?:(?!" + _re.escape(ftype[1]) + r")[\s\S])+"
         if kind == "regex":
             return _noncapturing(ftype[1])
         if kind == "tokenized":

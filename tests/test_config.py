@@ -1783,7 +1783,56 @@ class TestRulebaseNewTypes:
         from rsyslog_spark.mods import parse_rulebase
 
         with pytest.raises(ValueError, match="unsupported liblognorm"):
-            parse_rulebase("rule=:%x:iptables%")
+            parse_rulebase("rule=:%x:cee-syslog%")
+
+    # --- second r5 batch: remaining v1 simple types + string-to ----------
+
+    def test_hexnumber(self, spark):
+        rb = "rule=:addr=%a:hexnumber% ok"
+        assert self._one(spark, rb, "addr=0x7fa3 ok")["a"] == "0x7fa3"
+        assert "a" not in self._one(spark, rb, "addr=7fa3 ok")
+
+    def test_duration(self, spark):
+        rb = "rule=:took %d:duration% total"
+        # hours may exceed two digits (v1 doc)
+        assert self._one(spark, rb, "took 123:45:06 total")["d"] == \
+            "123:45:06"
+        assert "d" not in self._one(spark, rb, "took 1:2:3 total")
+
+    def test_time_24hr_12hr(self, spark):
+        rb24 = "rule=:at %t:time-24hr% end"
+        assert self._one(spark, rb24, "at 23:59:59 end")["t"] == "23:59:59"
+        assert "t" not in self._one(spark, rb24, "at 24:00:00 end")
+        rb12 = "rule=:at %t:time-12hr% end"
+        assert self._one(spark, rb12, "at 9:15:00 end")["t"] == "9:15:00"
+        assert self._one(spark, rb12, "at 12:15:00 end")["t"] == "12:15:00"
+        assert "t" not in self._one(spark, rb12, "at 13:15:00 end")
+
+    def test_kernel_timestamp(self, spark):
+        rb = "rule=:%k:kernel-timestamp% oops"
+        assert self._one(spark, rb, "[12345.678901] oops")["k"] == \
+            "[12345.678901]"
+        # fraction must be exactly 6 digits, integer part >= 5
+        assert "k" not in self._one(spark, rb, "[123.678901] oops")
+        assert "k" not in self._one(spark, rb, "[12345.6789] oops")
+
+    def test_whitespace_discard(self, spark):
+        rb = "rule=:a%-:whitespace%b=%v:word%"
+        got = self._one(spark, rb, "a   \tb=7")
+        assert got == {"v": "7"}
+
+    def test_string_to_multichar_stop(self, spark):
+        # the stop string is NOT consumed: it follows as a literal
+        rb = "rule=:note %n:string-to: END% END"
+        assert self._one(spark, rb, "note w42 x END")["n"] == "w42 x"
+        assert "n" not in self._one(spark, rb, "note w42 x FIN")
+
+    def test_iptables_span(self, spark):
+        rb = "rule=:FW: %f:iptables% DONE"
+        got = self._one(
+            spark, rb, "FW: IN=eth0 OUT= SRC=10.0.0.7 DPT=443 DONE"
+        )
+        assert got["f"] == "IN=eth0 OUT= SRC=10.0.0.7 DPT=443"
 
     def test_config_text_rule_param(self, spark):
         # the new types are reachable from config text (action rule=)
