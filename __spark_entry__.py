@@ -485,6 +485,31 @@ def q_mm_rewrite(spark, sf_dir):
         "rb3map",
         mods.rulebase_map_expr(F.col("sess_line"), mods.parse_rulebase(rb3)),
     )
+    # r5 facet: mmsnmptrapd — i%3==0 rows get a synthetic
+    # snmptrapd/<sev>/<host>: TAG (sev name alternates mapped /
+    # unmapped to pin both lookup branches); the rewrite's outputs
+    # are snapshotted into snmp_* facets before mmtaghostname
+    # replaces the tag again
+    trap_sev = F.when(
+        F.col("i") % 2 == 0, F.lit("warning")
+    ).otherwise(F.lit("bogus"))
+    norm = norm.withColumn(
+        "syslogtag",
+        F.when(
+            F.col("i") % 3 == 0,
+            F.concat(
+                F.lit("snmptrapd/"), trap_sev, F.lit("/origin-"), i_s,
+                F.lit(":"),
+            ),
+        ).otherwise(F.col("syslogtag")),
+    )
+    norm = mods.mm_snmptrapd(norm, severity_mapping="warning/2,error/0")
+    norm = (
+        norm.withColumn("snmp_tag", F.col("syslogtag"))
+        .withColumn("snmp_host", F.col("hostname"))
+        .withColumn("snmp_sev", F.col("syslogseverity"))
+        .withColumn("snmp_pri", F.col("pri"))
+    )
     # mmtaghostname: tag= replaces the TAG wholesale (programname
     # re-derived, stops at '['), forcelocalhostname pins hostname
     norm = mods.mm_taghostname(
@@ -537,6 +562,10 @@ def q_mm_rewrite(spark, sf_dir):
         F.element_at("rb3map", "t24").alias("ln_t24"),
         F.element_at("rb3map", "ipt").alias("ln_ipt"),
         F.element_at("rb3map", "note").alias("ln_note"),
+        "snmp_tag",
+        "snmp_host",
+        "snmp_sev",
+        "snmp_pri",
     )
 
 
@@ -1826,7 +1855,20 @@ def oracle_sql() -> dict[str, str]:
         "lpad(CAST(i % 24 AS VARCHAR), 2, '0') || ':30:59' AS ln_t24, "
         "'IN=eth0 OUT= SRC=10.0.0.' || CAST(i % 256 AS VARCHAR) "
         "AS ln_ipt, "
-        "'w' || CAST(i AS VARCHAR) || ' x' AS ln_note "
+        "'w' || CAST(i AS VARCHAR) || ' x' AS ln_note, "
+        # mmsnmptrapd facets: i%3==0 rows carry the synthetic
+        # snmptrapd/<sev>/origin-<i>: tag; TAG -> 'snmptrapd:',
+        # hostname from the tag's host component, severity mapped only
+        # for the 'warning' rows (the 'bogus' name misses the map and
+        # leaves severity/pri untouched, mmsnmptrapd.c:258-263)
+        "CASE WHEN i % 3 = 0 THEN 'snmptrapd:' ELSE syslogtag END "
+        "AS snmp_tag, "
+        "CASE WHEN i % 3 = 0 THEN 'origin-' || CAST(i AS VARCHAR) "
+        "ELSE hostname END AS snmp_host, "
+        "CASE WHEN i % 3 = 0 AND i % 2 = 0 THEN 2 "
+        "ELSE syslogseverity END AS snmp_sev, "
+        "CASE WHEN i % 3 = 0 AND i % 2 = 0 THEN syslogfacility * 8 + 2 "
+        "ELSE pri END AS snmp_pri "
         "FROM p WHERE parse_success"
     )
     # --- dataops oracles ---------------------------------------------------

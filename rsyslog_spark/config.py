@@ -66,6 +66,7 @@ from rsyslog_spark.route import (
     RouteCompiler,
     Ruleset,
     Set,
+    SnmpTrapd,
     Stop,
     TagHostname,
     Unset,
@@ -148,6 +149,10 @@ class ParsedConfig:
     # sinks marked down at config time (health probe / operator flag);
     # drives action suspension + previous_action_suspended()
     suspended: set = field(default_factory=set)
+    # pending legacy $mmsnmptrapdTag / $mmsnmptrapdSeverityMapping
+    # values (mmsnmptrapd.c:429-432 cfsysline handlers; auto-reset when
+    # an instance consumes them, :360-363)
+    snmptrapd_cs: dict = field(default_factory=dict)
 
     def compiler(self) -> RouteCompiler:
         # global(localhostname=...) feeds mmtaghostname's forced
@@ -612,6 +617,30 @@ class _Parser:
             # plugins/mmaudit: no instance parameters (instanceData is
             # a dummy, mmaudit.c:65-67)
             return Audit()
+        if typ == "mmsnmptrapd":
+            # the module predates v6 param blocks — in the reference
+            # its ONLY config interface is the legacy directives
+            # $mmsnmptrapdTag / $mmsnmptrapdSeverityMapping consumed by
+            # the next instance (mmsnmptrapd.c:319-365 parseSelectorAct
+            # + :429-432). We honor those, and additionally accept
+            # same-named modern params (this engine's config text is
+            # modern-first) which take precedence.
+            from rsyslog_spark.mods import (
+                parse_snmptrapd_severity_mapping,
+            )
+
+            cs = self.cfg.snmptrapd_cs
+            tag = p.get("tag", cs.get("tag", "snmptrapd"))
+            mapping = p.get(
+                "severitymapping", cs.get("severitymapping", "")
+            )
+            cs.clear()  # auto-reset (:360-363)
+            return SnmpTrapd(
+                tag=tag,
+                severity_mapping=parse_snmptrapd_severity_mapping(
+                    mapping
+                ),
+            )
         if typ == "mmgrok":
             # contrib/mmgrok param block (:64-69): patterndir, match,
             # source, target. ``source`` is parsed but then overwritten
@@ -1313,6 +1342,12 @@ _LEGACY_PROPFILT = re.compile(
     r'"(?P<val>[^"]*)"\s+(?P<target>-?/\S+)\s*$'
 )
 _LEGACY_TEMPLATE = re.compile(r'^\s*\$template\s+(\w+),"(?P<t>[^"]*)"')
+# mmsnmptrapd legacy faces (the module has no v6 param block):
+# directives (eCmdHdlrGetWord = one space-delimited word) + action line
+_LEGACY_SNMPTRAPD_CS = re.compile(
+    r"^\s*\$mmsnmptrapd(Tag|SeverityMapping)\s+(\S+)\s*$", re.IGNORECASE
+)
+_LEGACY_SNMPTRAPD_ACT = re.compile(r"^\s*:mmsnmptrapd:(;\S*)?\s*$")
 
 
 _BSD_BLOCK = re.compile(r"^\s*[!+][^\s=]+\s*$")
@@ -1331,6 +1366,35 @@ def _legacy_line(line: str, cfg: ParsedConfig) -> bool:
     m = _LEGACY_TEMPLATE.match(line)
     if m:
         cfg.templates[m.group(1)] = m.group("t")
+        return True
+    m = _LEGACY_SNMPTRAPD_CS.match(line)
+    if m:
+        # $mmsnmptrapdTag / $mmsnmptrapdSeverityMapping (mmsnmptrapd.c:
+        # 429-432, eCmdHdlrGetWord) — buffered until an instance
+        # consumes them
+        key = (
+            "tag" if m.group(1).lower() == "tag" else "severitymapping"
+        )
+        cfg.snmptrapd_cs[key] = m.group(2)
+        return True
+    if _LEGACY_SNMPTRAPD_ACT.match(line):
+        # legacy action line ':mmsnmptrapd:[;template]' — the template,
+        # if any, is parsed but IGNORED (mmsnmptrapd.c:331-337); the
+        # instance snapshots + resets the buffered directives
+        # (:340-363). Like the other legacy faces, the statement lands
+        # in main in pre-pass order.
+        from rsyslog_spark.mods import parse_snmptrapd_severity_mapping
+
+        cs = cfg.snmptrapd_cs
+        cfg.main.append(
+            SnmpTrapd(
+                tag=cs.get("tag", "snmptrapd"),
+                severity_mapping=parse_snmptrapd_severity_mapping(
+                    cs.get("severitymapping", "")
+                ),
+            )
+        )
+        cs.clear()
         return True
     m = _LEGACY_PROPFILT.match(line)
     if m:

@@ -726,6 +726,172 @@ def mm_taghostname(
 
 
 # ---------------------------------------------------------------------------
+# mmsnmptrapd (plugins/mmsnmptrapd/mmsnmptrapd.c)
+# ---------------------------------------------------------------------------
+
+
+def parse_snmptrapd_severity_mapping(s: str) -> list[tuple[str, int]]:
+    """Config-time parse of ``$mmsnmptrapdSeverityMapping``
+    (plugins/mmsnmptrapd/mmsnmptrapd.c:271-316 buildSeverityMapping over
+    :161-182 getSubstring). Format: ``name/code,name/code,...``.
+
+    Bug-for-bug with the C:
+
+    - getSubstring trims LEADING spaces only (the trailing-trim loop
+      at :172-174 tests ``*dst`` — the already-trimmed first char — so
+      it never fires; "warning /4" keeps the trailing space in the
+      name);
+    - an empty name substring ends parsing cleanly (so a trailing ','
+      is fine), but a name without a code is a config error (:287-291);
+    - the code must pass the isNumeric walk (:137-152, optional +/-
+      sign then digits only; atoi otherwise → -1) and land in 0..7
+      (:295-299) — "-1" and "8" are config errors;
+    - nodes are PREPENDED (:303-305), so among duplicate names the
+      LAST-defined entry wins the lookup — returned order preserves
+      definition order; callers that build a dict get last-wins for
+      free.
+    """
+    pairs: list[tuple[str, int]] = []
+    pos = 0
+    n = len(s)
+
+    def sub(delim: str) -> str:
+        nonlocal pos
+        while pos < n and s[pos] in " \t\n\v\f\r":
+            pos += 1
+        j = pos
+        while j < n and s[j] != delim:
+            j += 1
+        tok = s[pos:j]
+        pos = j + 1 if j < n else j
+        return tok
+
+    while True:
+        name = sub("/")
+        if not name:
+            return pairs
+        code_s = sub(",")
+        if not code_s:
+            raise ValueError(
+                "mmsnmptrapd: invalid severity mapping, cannot extract "
+                f"code (mmsnmptrapd.c:287-291); given: {s!r}"
+            )
+        body = code_s[1:] if code_s[0] in "+-" else code_s
+        numeric = all(c.isdigit() for c in body)  # isNumeric(:137-152)
+        if numeric:
+            code = int(code_s) if body else 0  # atoi("+") == 0
+        else:
+            code = -1
+        if code < 0 or code > 7:
+            raise ValueError(
+                f"mmsnmptrapd: severity code {code} outside of valid "
+                f"range 0..7 (was string {code_s!r}) "
+                "(mmsnmptrapd.c:295-299)"
+            )
+        pairs.append((name, code))
+
+
+def mm_snmptrapd(
+    df: DataFrame,
+    tag: str = "snmptrapd",
+    severity_mapping: str | list | None = None,
+    active: Column | None = None,
+) -> DataFrame:
+    """Rewrite snmptrapd-emitted messages so they look like they came
+    from the real originator (plugins/mmsnmptrapd/mmsnmptrapd.c:228-265
+    doAction).
+
+    snmptrapd (with the matching rsyslog-side convention) emits lines
+    tagged ``snmptrapd/<severity>/<origin-host>:``; this module, for
+    every message whose TAG starts with ``<tag>/``:
+
+    - extracts the severity component (chars after ``<tag>/`` up to the
+      next '/', ' ' or end — getTagComponent :189-206) and, when it is
+      found in the severity mapping, overwrites syslogseverity like the
+      parser does (:262-263) — ``pri`` is re-derived as
+      ``facility*8 + severity`` (the reference's pri property computes
+      from iFacility/iSeverity on demand);
+    - extracts the origin-host component (the chars after the NEXT '/';
+      empty when the severity was terminated by space/end), strips ONE
+      trailing ':' (:254-257), and MsgSetHOSTNAME's it — note the C
+      sets the hostname even when the component is EMPTY (:261 runs
+      unconditionally after the tag matched);
+    - replaces the TAG with ``<tag>:`` (MsgSetTAG :260 — pszTagName is
+      the configured tag + ':', and lenTagID == its length since both
+      are base+1 char). programname is re-derived from the new TAG
+      (the reference caches programname lazily; any later query
+      derives from the new TAG — our column is eager).
+
+    Messages whose TAG does not start with ``<tag>/`` are untouched
+    (:242-246). Pure column expressions, no UDF.
+    """
+    import re as _re
+
+    from rsyslog_spark.parse.chain import _PROGNAME_RE
+
+    if isinstance(severity_mapping, str):
+        severity_mapping = parse_snmptrapd_severity_mapping(
+            severity_mapping
+        )
+    sevmap = dict(severity_mapping or ())  # last duplicate wins (:303)
+
+    tag_id = tag + "/"
+    tag_name = tag + ":"
+    esc = _re.escape(tag_id)
+    # scratch column: Column exprs resolve lazily, so a raw
+    # startswith(syslogtag) would see the REPLACED tag in the updates
+    # applied after MsgSetTAG below
+    hit = F.col("syslogtag").startswith(tag_id)
+    if active is not None:
+        # routing-path gate: the action only sees messages on its
+        # (non-stopped) execution path
+        hit = active & hit
+    df = df.withColumn("_snmptrapd_hit", hit)
+    matched = F.col("_snmptrapd_hit")
+    comp = "([^ /]*)"  # getTagComponent: until '/', ' ' or end
+    host = F.regexp_replace(
+        F.regexp_extract("syslogtag", "^" + esc + "[^ /]*/" + comp, 1),
+        ":$",
+        "",
+    )
+    df = df.withColumn(
+        "hostname",
+        F.when(matched, host).otherwise(F.col("hostname")),
+    )
+    if sevmap and "syslogseverity" in df.columns:
+        sever = F.regexp_extract("syslogtag", "^" + esc + comp, 1)
+        lits: list[Column] = []
+        for k, v in sevmap.items():
+            lits += [F.lit(k), F.lit(v)]
+        new_sev = F.element_at(F.create_map(*lits), sever)
+        upd = matched & new_sev.isNotNull()
+        df = df.withColumn(
+            "syslogseverity",
+            F.when(upd, new_sev).otherwise(F.col("syslogseverity")),
+        )
+        if "pri" in df.columns:
+            df = df.withColumn(
+                "pri",
+                F.when(
+                    upd, F.col("syslogfacility") * 8 + new_sev
+                ).otherwise(F.col("pri")),
+            )
+    # TAG replacement LAST — the severity/host extracts above read the
+    # original TAG (doAction holds pszTag from before MsgSetTAG)
+    df = df.withColumn(
+        "syslogtag",
+        F.when(matched, F.lit(tag_name)).otherwise(F.col("syslogtag")),
+    )
+    if "programname" in df.columns:
+        prog = _re.match(_PROGNAME_RE, tag_name).group(1)
+        df = df.withColumn(
+            "programname",
+            F.when(matched, F.lit(prog)).otherwise(F.col("programname")),
+        )
+    return df.drop("_snmptrapd_hit")
+
+
+# ---------------------------------------------------------------------------
 # mmaudit (plugins/mmaudit/mmaudit.c)
 # ---------------------------------------------------------------------------
 

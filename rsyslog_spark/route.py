@@ -182,6 +182,19 @@ class AddHmac:
 
 
 @dataclass
+class SnmpTrapd:
+    """action(type="mmsnmptrapd") / legacy ``:mmsnmptrapd:``: rewrite
+    snmptrapd-emitted messages (TAG ``<tag>/<sever>/<host>:``) to look
+    like the real originator — TAG -> ``<tag>:``, HOSTNAME from the
+    tag's host component, severity via the configured mapping
+    (plugins/mmsnmptrapd/mmsnmptrapd.c:228-265 doAction; params are
+    the legacy ``$mmsnmptrapdTag`` / ``$mmsnmptrapdSeverityMapping``
+    directives, :429-432 — the module predates v6 param blocks)."""
+    tag: str = "snmptrapd"
+    severity_mapping: list = field(default_factory=list)
+
+
+@dataclass
 class Call:
     ruleset: str
     queued: bool = False
@@ -309,7 +322,9 @@ def _check_foreach_body(
                 "in this engine (the loop runs on a branched exploded "
                 "frame); restructure as an if around the loop"
             )
-        elif isinstance(st, (Normalize, Audit, TagHostname, AddHmac, Grok)):
+        elif isinstance(
+            st, (Normalize, Audit, TagHostname, AddHmac, Grok, SnmpTrapd)
+        ):
             raise ValueError(
                 f"{type(st).__name__} inside a foreach body mutates "
                 "message state outside the loop variable, which does "
@@ -347,6 +362,9 @@ def _has_mutation(stmts: list) -> bool:
 # sequential exec: the render sees the state at its own position)
 _COL_MUTATORS = (
     (TagHostname, ("syslogtag", "programname", "hostname")),
+    (SnmpTrapd, (
+        "syslogtag", "programname", "hostname", "syslogseverity", "pri",
+    )),
     (AddHmac, ("structured_data",)),
     (Audit, ("parse_success",)),
     (Normalize, ("parse_success",)),
@@ -549,6 +567,8 @@ class RouteCompiler:
                 self._apply_normalize(st, path & ~stopped)
             elif isinstance(st, TagHostname):
                 self._apply_taghostname(st, path & ~stopped)
+            elif isinstance(st, SnmpTrapd):
+                self._apply_snmptrapd(st, path & ~stopped)
             elif isinstance(st, Audit):
                 self._apply_audit(path & ~stopped)
             elif isinstance(st, AddHmac):
@@ -671,6 +691,19 @@ class RouteCompiler:
                     F.col("hostname")
                 ),
             )
+
+    def _apply_snmptrapd(self, st: SnmpTrapd, active: Column):
+        """mmsnmptrapd doAction (plugins/mmsnmptrapd/mmsnmptrapd.c:
+        228-265) — the whole rewrite lives in mods.mm_snmptrapd (pure
+        columns); the routing path gates which rows the action sees."""
+        from rsyslog_spark.mods import mm_snmptrapd
+
+        self._df = mm_snmptrapd(
+            self._df,
+            tag=st.tag,
+            severity_mapping=st.severity_mapping,
+            active=active,
+        )
 
     def _apply_audit(self, active: Column):
         """mmaudit doAction (plugins/mmaudit/mmaudit.c:203-272): parse

@@ -130,6 +130,175 @@ ruleset(name="r") {
         ]
 
 
+RAW_SNMP = (
+    "<165>Mar  3 16:09:56 collector "
+    "snmptrapd/warning/myhost.example.com: IF-MIB::linkDown trap"
+)
+
+
+class TestMMSnmpTrapd:
+    """mmsnmptrapd goldens hand-derived from the C doAction walk
+    (plugins/mmsnmptrapd/mmsnmptrapd.c:228-265) — no reference e2e
+    test exists for this module, so the cases below each pin one
+    branch of the walk."""
+
+    def test_full_rewrite_golden(self, spark):
+        """Matching TAG: TAG -> snmptrapd:, HOSTNAME from the tag's
+        host component (trailing ':' stripped), severity + pri from
+        the mapping, programname re-derived."""
+        conf = """
+template(name="t" type="string"
+         string="%hostname% %syslogtag% %syslogseverity% %pri% %programname%")
+ruleset(name="r") {
+    action(type="mmsnmptrapd" severitymapping="warning/4,error/3")
+    action(type="omfile" file="/x/out.log" template="t")
+}
+"""
+        ann, actions = compile_config(
+            _parsed_df(spark, [RAW_SNMP]), conf, entry="r"
+        )
+        # fac 20 sev 5 in, mapping warning->4: pri 20*8+4 = 164
+        assert _render(ann, actions, "out") == [
+            "myhost.example.com snmptrapd: 4 164 snmptrapd"
+        ]
+
+    def test_legacy_directives_and_action_line(self, spark):
+        """$mmsnmptrapdTag / $mmsnmptrapdSeverityMapping +
+        ':mmsnmptrapd:' legacy action line (mmsnmptrapd.c:319-365
+        parseSelectorAct, :429-432 cfsysline handlers); custom tag
+        changes BOTH the match prefix and the replacement."""
+        raws = [
+            RAW_SNMP.replace("snmptrapd/", "mytrapd/"),
+            RAW_SNMP,  # does NOT match the custom tag -> untouched
+        ]
+        conf = """
+$mmsnmptrapdTag mytrapd
+$mmsnmptrapdSeverityMapping warning/2
+:mmsnmptrapd:
+template(name="t" type="string"
+         string="%hostname% %syslogtag% %syslogseverity%")
+action(type="omfile" file="/x/out.log" template="t")
+"""
+        ann, actions = compile_config(_parsed_df(spark, raws), conf)
+        assert sorted(_render(ann, actions, "out")) == [
+            "collector snmptrapd/warning/myhost.example.com: 5",
+            "myhost.example.com mytrapd: 2",
+        ]
+
+    def test_no_host_component_sets_empty_hostname(self, spark):
+        """Severity terminated by end-of-tag: getTagComponent (:189-206)
+        stops only at '/', ' ' or NUL — the TAG-terminating ':' folds
+        INTO the severity component ("warning:" misses the "warning"
+        mapping; only the HOST component gets the trailing-colon strip,
+        :254-257), and the host read returns 0 but MsgSetHOSTNAME still
+        runs (:261) — hostname becomes empty."""
+        from rsyslog_spark.mods import mm_snmptrapd
+
+        raw = "<165>Mar  3 16:09:56 collector snmptrapd/warning: trap"
+        df = mm_snmptrapd(
+            _parsed_df(spark, [raw]), severity_mapping="warning/4"
+        )
+        row = df.select("hostname", "syslogseverity", "syslogtag").first()
+        assert row["hostname"] == ""
+        assert row["syslogseverity"] == 5  # "warning:" != "warning"
+        assert row["syslogtag"] == "snmptrapd:"
+        # severity terminated by a SPACE maps cleanly (component ends
+        # before the space; host read then starts at ' ' -> empty)
+        raw2 = "<165>Mar  3 16:09:56 collector snmptrapd/warning x: trap"
+        df2 = mm_snmptrapd(
+            _parsed_df(spark, [raw2]), severity_mapping="warning/4"
+        )
+        row2 = df2.select("hostname", "syslogseverity").first()
+        assert row2["syslogseverity"] == 4
+        assert row2["hostname"] == ""
+
+    def test_unmapped_severity_unchanged(self, spark):
+        """lookupSeverityCode -1 -> iSeverity untouched (:258-263),
+        but TAG/HOSTNAME still rewritten."""
+        from rsyslog_spark.mods import mm_snmptrapd
+
+        raw = "<165>Mar  3 16:09:56 collector snmptrapd/bogus/h: trap"
+        df = mm_snmptrapd(
+            _parsed_df(spark, [raw]), severity_mapping="warning/4"
+        )
+        row = df.select(
+            "hostname", "syslogseverity", "pri", "syslogtag"
+        ).first()
+        assert row["hostname"] == "h"
+        assert row["syslogseverity"] == 5
+        assert row["pri"] == 165
+        assert row["syslogtag"] == "snmptrapd:"
+
+    def test_sequential_exec_snapshot(self, spark):
+        """An action ABOVE mmsnmptrapd renders the pre-rewrite
+        severity/hostname (ruleset.c sequential exec — exercises the
+        syslogseverity/pri column snapshot)."""
+        conf = """
+template(name="t" type="string" string="%hostname%/%syslogseverity%")
+ruleset(name="r") {
+    action(type="omfile" file="/x/before.log" template="t")
+    action(type="mmsnmptrapd" severitymapping="warning/4")
+    action(type="omfile" file="/x/after.log" template="t")
+}
+"""
+        ann, actions = compile_config(
+            _parsed_df(spark, [RAW_SNMP]), conf, entry="r"
+        )
+        assert _render(ann, actions, "before") == ["collector/5"]
+        assert _render(ann, actions, "after") == ["myhost.example.com/4"]
+
+
+class TestSnmpTrapdMappingParse:
+    """buildSeverityMapping walk (mmsnmptrapd.c:271-316) bug-for-bug."""
+
+    def test_basic_and_trailing_comma(self):
+        from rsyslog_spark.mods import parse_snmptrapd_severity_mapping
+
+        assert parse_snmptrapd_severity_mapping("warning/4,error/3,") == [
+            ("warning", 4), ("error", 3),
+        ]
+        assert parse_snmptrapd_severity_mapping("") == []
+
+    def test_leading_trim_only(self):
+        # getSubstring's trailing-trim loop tests *dst (already
+        # non-space) and never fires — "warning /4" keeps the space
+        from rsyslog_spark.mods import parse_snmptrapd_severity_mapping
+
+        assert parse_snmptrapd_severity_mapping(" warning /4") == [
+            ("warning ", 4)
+        ]
+
+    def test_missing_code_errors(self):
+        from rsyslog_spark.mods import parse_snmptrapd_severity_mapping
+
+        with pytest.raises(ValueError, match="cannot extract code"):
+            parse_snmptrapd_severity_mapping("warning")
+        with pytest.raises(ValueError, match="cannot extract code"):
+            parse_snmptrapd_severity_mapping("warning/,x/1")
+
+    def test_code_range_and_numeric(self):
+        from rsyslog_spark.mods import parse_snmptrapd_severity_mapping
+
+        with pytest.raises(ValueError, match="outside of valid"):
+            parse_snmptrapd_severity_mapping("w/8")
+        with pytest.raises(ValueError, match="outside of valid"):
+            parse_snmptrapd_severity_mapping("w/-1")
+        with pytest.raises(ValueError, match="outside of valid"):
+            parse_snmptrapd_severity_mapping("w/4x")  # atoi+isNumeric
+        # '+4' passes isNumeric (leading sign allowed, :141-142)
+        assert parse_snmptrapd_severity_mapping("w/+4") == [("w", 4)]
+
+    def test_duplicate_last_wins(self, spark):
+        # nodes are PREPENDED (:303-305): the last definition wins
+        from rsyslog_spark.mods import mm_snmptrapd
+
+        raw = "<165>Mar  3 16:09:56 collector snmptrapd/w/h: trap"
+        df = mm_snmptrapd(
+            _parsed_df(spark, [raw]), severity_mapping="w/1,w/6"
+        )
+        assert df.select("syslogseverity").first()[0] == 6
+
+
 class TestAuditWalk:
     """audit_record_fields vs the hand-traced C walk (mmaudit.c)."""
 
