@@ -12,6 +12,8 @@ aliased identically on both sides; counters/row numbers are BIGINT.
 
 from __future__ import annotations
 
+import os as _os
+
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -510,6 +512,20 @@ def q_mm_rewrite(spark, sf_dir):
         .withColumn("snmp_sev", F.col("syslogseverity"))
         .withColumn("snmp_pri", F.col("pri"))
     )
+    # r5 facet: mmexternal — the repo-shipped line-protocol plugin
+    # (tools/external_msgmod.py) over interface.input="msg": rows whose
+    # MSG carries msgnum:<digits> (classes 0-7; class 8's JSON line has
+    # a quote between 'msgnum' and ':') get msgid=X<n> via the
+    # well-known walk plus a $!ext subtree merge; others reply '{}'
+    from rsyslog_spark.external import mm_external as _mm_external
+
+    _ext_bin = "python3 " + _os.path.join(
+        _os.path.dirname(_os.path.abspath(__file__)),
+        "tools", "external_msgmod.py",
+    )
+    norm = _mm_external(
+        norm, _ext_bin, interface_input="msg", vars_col="extvars"
+    )
     # mmtaghostname: tag= replaces the TAG wholesale (programname
     # re-derived, stops at '['), forcelocalhostname pins hostname
     norm = mods.mm_taghostname(
@@ -566,6 +582,9 @@ def q_mm_rewrite(spark, sf_dir):
         "snmp_host",
         "snmp_sev",
         "snmp_pri",
+        F.element_at("extvars", "ext!mn").alias("ext_mn"),
+        F.element_at("extvars", "ext!prog").alias("ext_prog"),
+        F.col("msgid").alias("ext_msgid"),
     )
 
 
@@ -1868,7 +1887,14 @@ def oracle_sql() -> dict[str, str]:
         "CASE WHEN i % 3 = 0 AND i % 2 = 0 THEN 2 "
         "ELSE syslogseverity END AS snmp_sev, "
         "CASE WHEN i % 3 = 0 AND i % 2 = 0 THEN syslogfacility * 8 + 2 "
-        "ELSE pri END AS snmp_pri "
+        "ELSE pri END AS snmp_pri, "
+        # mmexternal facets: classes 0-7 carry msgnum:<digits> in MSG
+        # (class 8's JSON has '\"msgnum\":' — quote before the colon,
+        # no match -> '{}' no-update)
+        "CASE WHEN i % 10 <= 7 THEN CAST(i AS VARCHAR) END AS ext_mn, "
+        "CASE WHEN i % 10 <= 7 THEN 'msgmod' END AS ext_prog, "
+        "CASE WHEN i % 10 <= 7 THEN 'X' || CAST(i AS VARCHAR) "
+        "ELSE msgid END AS ext_msgid "
         "FROM p WHERE parse_success"
     )
     # --- dataops oracles ---------------------------------------------------

@@ -59,6 +59,7 @@ from rsyslog_spark.route import (
     Audit,
     Call,
     CallIndirect,
+    External,
     Foreach,
     Grok,
     If,
@@ -617,6 +618,28 @@ class _Parser:
             # plugins/mmaudit: no instance parameters (instanceData is
             # a dummy, mmaudit.c:65-67)
             return Audit()
+        if typ == "mmexternal":
+            # param block mmexternal.c:88-93: binary REQUIRED,
+            # interface.input (msg/rawmsg/fulljson, :559-571), output,
+            # forcesingleinstance (binary)
+            if "binary" not in p:
+                raise ValueError(
+                    "mmexternal: mandatory parameter 'binary' not "
+                    "specified (mmexternal.c:89 CNFPARAM_REQUIRED)"
+                )
+            ifin = p.get("interface.input", "msg")
+            if ifin not in ("msg", "rawmsg", "fulljson"):
+                raise ValueError(
+                    "mmexternal: invalid interface.input parameter "
+                    f"{ifin!r} (mmexternal.c:559-571)"
+                )
+            return External(
+                binary=p["binary"],
+                interface_input=ifin,
+                output=p.get("output"),
+                force_single_instance=p.get("forcesingleinstance", "off")
+                == "on",
+            )
         if typ == "mmsnmptrapd":
             # the module predates v6 param blocks — in the reference
             # its ONLY config interface is the legacy directives

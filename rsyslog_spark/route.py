@@ -195,6 +195,19 @@ class SnmpTrapd:
 
 
 @dataclass
+class External:
+    """action(type="mmexternal"): modify messages through an external
+    program speaking the stdin/stdout line protocol
+    (plugins/mmexternal/mmexternal.c + plugins/external/INTERFACE.md;
+    executed by rsyslog_spark.external.mm_external — one child per
+    partition, reply JSON applied via MsgSetPropsViaJSON)."""
+    binary: str
+    interface_input: str = "msg"
+    output: str | None = None
+    force_single_instance: bool = False
+
+
+@dataclass
 class Call:
     ruleset: str
     queued: bool = False
@@ -323,7 +336,16 @@ def _check_foreach_body(
                 "frame); restructure as an if around the loop"
             )
         elif isinstance(
-            st, (Normalize, Audit, TagHostname, AddHmac, Grok, SnmpTrapd)
+            st,
+            (
+                Normalize,
+                Audit,
+                TagHostname,
+                AddHmac,
+                Grok,
+                SnmpTrapd,
+                External,
+            ),
         ):
             raise ValueError(
                 f"{type(st).__name__} inside a foreach body mutates "
@@ -349,7 +371,9 @@ def _check_foreach_body(
 
 def _has_mutation(stmts: list) -> bool:
     for st in stmts:
-        if isinstance(st, (Set, Unset, Foreach, Normalize, Audit, Grok)):
+        if isinstance(
+            st, (Set, Unset, Foreach, Normalize, Audit, Grok, External)
+        ):
             return True
         for sub in ("then", "els", "body"):
             if hasattr(st, sub) and _has_mutation(getattr(st, sub)):
@@ -364,6 +388,12 @@ _COL_MUTATORS = (
     (TagHostname, ("syslogtag", "programname", "hostname")),
     (SnmpTrapd, (
         "syslogtag", "programname", "hostname", "syslogseverity", "pri",
+    )),
+    # mmexternal replies may set any msgSetPropViaJSON well-known name
+    (External, (
+        "msg", "rawmsg", "syslogtag", "programname", "hostname",
+        "procid", "msgid", "structured_data", "syslogseverity",
+        "syslogfacility", "pri",
     )),
     (AddHmac, ("structured_data",)),
     (Audit, ("parse_success",)),
@@ -569,6 +599,8 @@ class RouteCompiler:
                 self._apply_taghostname(st, path & ~stopped)
             elif isinstance(st, SnmpTrapd):
                 self._apply_snmptrapd(st, path & ~stopped)
+            elif isinstance(st, External):
+                self._apply_external(st, path & ~stopped)
             elif isinstance(st, Audit):
                 self._apply_audit(path & ~stopped)
             elif isinstance(st, AddHmac):
@@ -704,6 +736,25 @@ class RouteCompiler:
             severity_mapping=st.severity_mapping,
             active=active,
         )
+
+    def _apply_external(self, st: External, active: Column):
+        """mmexternal doAction (plugins/mmexternal/mmexternal.c:504-522)
+        — the child-process round trip lives in external.mm_external;
+        the routing path is materialized into a scratch bool column so
+        off-path rows pass through without touching the child."""
+        from rsyslog_spark.external import mm_external
+
+        ac = self._fresh("extact")
+        self._df = self._df.withColumn(ac, active)
+        self._df = mm_external(
+            self._df,
+            binary=st.binary,
+            interface_input=st.interface_input,
+            output=st.output,
+            force_single_instance=st.force_single_instance,
+            vars_col=self._vars_col,
+            active_col=ac,
+        ).drop(ac)
 
     def _apply_audit(self, active: Column):
         """mmaudit doAction (plugins/mmaudit/mmaudit.c:203-272): parse

@@ -299,6 +299,217 @@ class TestSnmpTrapdMappingParse:
         assert df.select("syslogseverity").first()[0] == 6
 
 
+# the exact message both reference mmexternal tests inject
+RAW_EXT = "<129>Mar 10 01:00:00 172.20.245.8 tag:msgnum:1"
+
+# the reference test plugin's reply (testsuites/
+# mmexternal-SegFault-mm-python.py onReceive): parse the fulljson
+# line, reply with a $! merge
+_SEGFAULT_MM = """\
+import sys, json
+for line in sys.stdin:
+    data = json.loads(line)
+    print(json.dumps({"$!": {"sometag": "somevalue"}}))
+    sys.stdout.flush()
+"""
+
+
+class TestMMExternal:
+    """mmexternal (plugins/mmexternal/mmexternal.c + plugins/external/
+    INTERFACE.md): child-per-partition line protocol, replies applied
+    via MsgSetPropsViaJSON. The two e2e goldens reproduce the reference
+    tests' cmp_exact lines byte-for-byte."""
+
+    def _conf(self, script_path, pre=""):
+        # the reference test runs everything in the default ruleset;
+        # ours names it (the set precedes the if exactly like the .sh)
+        return f"""
+template(name="outfmt" type="string" string="-%$!%-")
+ruleset(name="r") {{
+    {pre}if $msg contains "msgnum:" then {{
+        action(type="mmexternal" interface.input="fulljson"
+               binary="python3 {script_path}")
+        action(type="omfile" template="outfmt" file="/x/out.log")
+    }}
+}}
+"""
+
+    def test_segfault_golden(self, spark, tmp_path):
+        """tests/mmexternal-SegFault.sh cmp_exact byte-exact:
+        set $!x first, then the external $! merge appends sometag."""
+        script = tmp_path / "mm.py"
+        script.write_text(_SEGFAULT_MM)
+        conf = self._conf(script, pre='set $!x = "a";\n')
+        ann, actions = compile_config(
+            _parsed_df(spark, [RAW_EXT]), conf, entry="r"
+        )
+        assert _render(ann, actions, "out") == [
+            '-{ "x": "a", "sometag": "somevalue" }-'
+        ]
+
+    def test_empty_jroot_golden(self, spark, tmp_path):
+        """tests/mmexternal-SegFault-empty-jroot-vg.sh cmp_exact: no
+        prior $! -> the merge is the whole tree."""
+        script = tmp_path / "mm.py"
+        script.write_text(_SEGFAULT_MM)
+        ann, actions = compile_config(
+            _parsed_df(spark, [RAW_EXT]), self._conf(script), entry="r"
+        )
+        assert _render(ann, actions, "out") == [
+            '-{ "sometag": "somevalue" }-'
+        ]
+
+    def test_off_path_rows_never_reach_child(self, spark, tmp_path):
+        """doAction only sees messages on the action's path: a row
+        failing the if must pass through unmodified AND not be written
+        to the child (the script would crash on a non-JSON line)."""
+        script = tmp_path / "mm.py"
+        script.write_text(_SEGFAULT_MM)
+        raws = [RAW_EXT, "<129>Mar 10 01:00:00 172.20.245.8 tag:other"]
+        conf = self._conf(script) + """
+template(name="all" type="string" string="%msg%|%$!%")
+ruleset(name="r2") {
+    call r
+    action(type="omfile" template="all" file="/x/all.log")
+}
+"""
+        ann, actions = compile_config(
+            _parsed_df(spark, raws), conf, entry="r2"
+        )
+        assert sorted(_render(ann, actions, "all")) == [
+            'msgnum:1|{ "sometag": "somevalue" }',
+            "other|",
+        ]
+
+    def test_wellknown_props_and_gates(self, spark, tmp_path):
+        """msgSetPropViaJSON walk: pri runs msgSetPRI (>191 -> 199,
+        fac/sev re-derived); out-of-range facility ignored; unknown
+        names ignored; syslogtag set re-derives programname."""
+        script = tmp_path / "mm.py"
+        script.write_text(
+            "import sys, json\n"
+            "for line in sys.stdin:\n"
+            "    print(json.dumps({'pri': 200, 'syslogfacility': 99,"
+            " 'syslogtag': 'newt[4]:', 'msgid': 'MID',"
+            " 'no-such-prop': 'x'}))\n"
+            "    sys.stdout.flush()\n"
+        )
+        from rsyslog_spark.external import mm_external
+
+        df = mm_external(
+            _parsed_df(spark, [RAW_EXT]), f"python3 {script}"
+        )
+        row = df.select(
+            "pri", "syslogfacility", "syslogseverity", "syslogtag",
+            "programname", "msgid",
+        ).first()
+        # msgSetPRI(200): clamp to LOG_PRI_INVLD 199 -> fac 24, sev 7;
+        # the later syslogfacility=99 is out of 0..24 and ignored
+        assert row["pri"] == 199
+        assert row["syslogfacility"] == 24
+        assert row["syslogseverity"] == 7
+        assert row["syslogtag"] == "newt[4]:"
+        assert row["programname"] == "newt"
+        assert row["msgid"] == "MID"
+
+    def test_invalid_reply_and_dead_child(self, spark, tmp_path):
+        """RS_RET_JSON_UNUSABLE reply -> message kept unmodified; a
+        child that dies mid-stream -> restart, then fake '{}'
+        (processProgramReply emergency path)."""
+        bad = tmp_path / "bad.py"
+        bad.write_text(
+            "import sys\n"
+            "for line in sys.stdin:\n"
+            "    print('not json')\n"
+            "    sys.stdout.flush()\n"
+        )
+        from rsyslog_spark.external import mm_external
+
+        df = mm_external(_parsed_df(spark, [RAW_EXT]), f"python3 {bad}")
+        assert df.select("msg").first()[0] == "msgnum:1"
+        dies = tmp_path / "dies.py"
+        dies.write_text("import sys; sys.exit(3)\n")
+        df2 = mm_external(
+            _parsed_df(spark, [RAW_EXT]), f"python3 {dies}"
+        )
+        assert df2.select("msg").first()[0] == "msgnum:1"
+
+    def test_msg_and_rawmsg_inputs(self, spark, tmp_path):
+        """interface.input=msg feeds MSG; rawmsg feeds the raw line
+        (callExtProg :450-459); the echo child proves which."""
+        echo = tmp_path / "echo.py"
+        echo.write_text(
+            "import sys, json\n"
+            "for line in sys.stdin:\n"
+            "    print(json.dumps("
+            "{'$!': {'got': line.rstrip(chr(10))}}))\n"
+            "    sys.stdout.flush()\n"
+        )
+        from rsyslog_spark.external import mm_external
+
+        base = _parsed_df(spark, [RAW_EXT])
+        got_msg = (
+            mm_external(base, f"python3 {echo}", interface_input="msg")
+            .select(F.element_at("vars", "got")).first()[0]
+        )
+        assert got_msg == "msgnum:1"
+        got_raw = (
+            mm_external(
+                base, f"python3 {echo}", interface_input="rawmsg"
+            ).select(F.element_at("vars", "got")).first()[0]
+        )
+        assert got_raw == RAW_EXT
+
+    def test_invalid_interface_input_config_error(self, spark):
+        from rsyslog_spark.external import mm_external
+
+        with pytest.raises(ValueError, match="interface.input"):
+            mm_external(
+                _parsed_df(spark, [RAW_EXT]), "cat",
+                interface_input="json",
+            )
+        with pytest.raises(ValueError, match="mandatory parameter"):
+            compile_config(
+                _parsed_df(spark, [RAW_EXT]),
+                'ruleset(name="r") { action(type="mmexternal") }',
+                entry="r",
+            )
+
+
+class TestSetPropsViaJSONWalk:
+    """msg_set_props_via_json unit goldens (msg.c:4599-4746)."""
+
+    def test_merge_replaces_toplevel_subtree(self):
+        from rsyslog_spark.external import msg_set_props_via_json
+
+        row = {"vars": {"a!b": "1", "a!c": "2", "z": "9"}}
+        out = msg_set_props_via_json(
+            row, '{"$!": {"a": {"d": "3"}}}'
+        )
+        # jsonMerge: top-level key 'a' REPLACES the whole a-subtree
+        assert out["vars"] == {"z": "9", "a!d": "3"}
+
+    def test_json_get_int_strtol(self):
+        from rsyslog_spark.external import json_get_int
+
+        assert json_get_int(" -7x") == -7
+        assert json_get_int("abc") == 0
+        assert json_get_int(True) == 1
+        assert json_get_int(3.9) == 3
+        assert json_get_int(None) == 0
+
+    def test_key_order_matters(self):
+        from rsyslog_spark.external import msg_set_props_via_json
+
+        row = {"pri": 165, "syslogfacility": 20, "syslogseverity": 5}
+        # pri first, then severity override — json iteration order
+        out = msg_set_props_via_json(
+            row, '{"pri": 9, "syslogseverity": 6}'
+        )
+        assert (out["syslogfacility"], out["syslogseverity"]) == (1, 6)
+        assert out["pri"] == 14
+
+
 class TestAuditWalk:
     """audit_record_fields vs the hand-traced C walk (mmaudit.c)."""
 
