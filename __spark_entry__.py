@@ -526,6 +526,20 @@ def q_mm_rewrite(spark, sf_dir):
     norm = _mm_external(
         norm, _ext_bin, interface_input="msg", vars_col="extvars"
     )
+    # r5 facet: omprog — the repo-shipped program sink
+    # (tools/prog_sink.py) with confirmMessages: per-row delivery
+    # status from the child's OK / Error replies (rows whose msgnum is
+    # 3 mod 7 are rejected by the program)
+    from rsyslog_spark.external import om_prog as _om_prog
+
+    _prog_bin = "python3 " + _os.path.join(
+        _os.path.dirname(_os.path.abspath(__file__)),
+        "tools", "prog_sink.py",
+    )
+    norm = _om_prog(
+        norm, "msg", _prog_bin, confirm_messages=True,
+        status_col="prog_status",
+    )
     # mmtaghostname: tag= replaces the TAG wholesale (programname
     # re-derived, stops at '['), forcelocalhostname pins hostname
     norm = mods.mm_taghostname(
@@ -585,6 +599,7 @@ def q_mm_rewrite(spark, sf_dir):
         F.element_at("extvars", "ext!mn").alias("ext_mn"),
         F.element_at("extvars", "ext!prog").alias("ext_prog"),
         F.col("msgid").alias("ext_msgid"),
+        "prog_status",
     )
 
 
@@ -1894,7 +1909,10 @@ def oracle_sql() -> dict[str, str]:
         "CASE WHEN i % 10 <= 7 THEN CAST(i AS VARCHAR) END AS ext_mn, "
         "CASE WHEN i % 10 <= 7 THEN 'msgmod' END AS ext_prog, "
         "CASE WHEN i % 10 <= 7 THEN 'X' || CAST(i AS VARCHAR) "
-        "ELSE msgid END AS ext_msgid "
+        "ELSE msgid END AS ext_msgid, "
+        # omprog facet: the program rejects msgnum ≡ 3 (mod 7) lines
+        "CASE WHEN i % 10 <= 7 AND i % 7 = 3 THEN 'error:Error: div7' "
+        "ELSE 'ok' END AS prog_status "
         "FROM p WHERE parse_success"
     )
     # --- dataops oracles ---------------------------------------------------

@@ -154,6 +154,11 @@ class ParsedConfig:
     # values (mmsnmptrapd.c:429-432 cfsysline handlers; auto-reset when
     # an instance consumes them, :360-363)
     snmptrapd_cs: dict = field(default_factory=dict)
+    # omprog program-sink specs: sink name -> external.om_prog kwargs
+    # (the physical pump; Action routing/filtering is shared with
+    # omfile — run a sink with external.om_prog(a.output(ann),
+    # a.out_col, **cfg.prog_sinks[name]))
+    prog_sinks: dict = field(default_factory=dict)
 
     def compiler(self) -> RouteCompiler:
         # global(localhostname=...) feeds mmtaghostname's forced
@@ -718,6 +723,55 @@ class _Parser:
                 hashfunction=p["hashfunction"],
                 sd_id=p["sd_id"],
             )
+        if typ == "omprog":
+            # plugins/omprog/omprog.c:126-144 param block. binary is
+            # REQUIRED; template defaults to RSYSLOG_FileFormat
+            # (:1168-1169, same default as omfile). Child-lifecycle
+            # tuning params (confirmTimeout, closeTimeout,
+            # killUnresponsive, signalOnClose, hup.signal,
+            # fileCreateMode, reportFailures) are accepted and ignored
+            # — the engine's fixed close handling (stdin-close, 5 s
+            # wait, kill) covers their purpose; reply status lines are
+            # always surfaced in the status column, which subsumes
+            # reportFailures' logging.
+            if "binary" not in p:
+                raise ValueError(
+                    "omprog: mandatory parameter 'binary' not "
+                    "specified (omprog.c:127 CNFPARAM_REQUIRED)"
+                )
+            sink = p.get(
+                "name",
+                os.path.splitext(os.path.basename(
+                    p["binary"].split()[0]
+                ))[0],
+            )
+            self.cfg.prog_sinks[sink] = dict(
+                binary=p["binary"],
+                confirm_messages=p.get("confirmmessages", "off")
+                == "on",
+                use_transactions=p.get("usetransactions", "off")
+                == "on",
+                begin_mark=p.get(
+                    "begintransactionmark", "BEGIN TRANSACTION"
+                ),
+                commit_mark=p.get(
+                    "committransactionmark", "COMMIT TRANSACTION"
+                ),
+                resume_retry_count=int(
+                    p.get("action.resumeretrycount", "0")
+                ),
+                output=p.get("output"),
+                force_single_instance=p.get("forcesingleinstance", "off")
+                == "on",
+            )
+            tpl = p.get("template", "RSYSLOG_FileFormat")
+            tpl_text = self.cfg.templates.get(
+                tpl, BUILTIN_TEMPLATES.get(tpl)
+            )
+            if tpl_text is None:
+                raise ValueError(f"unknown template {tpl!r}")
+            self.cfg.sink_templates[sink] = tpl
+            return Action(sink, compile_template(tpl_text))
         if typ != "omfile":
             raise ValueError(f"unsupported action type {typ!r}")
         path = p.get("file") or p.get("dynafile") or p.get("dynfile")

@@ -33,7 +33,12 @@ import subprocess
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["mm_external", "msg_set_props_via_json", "json_get_int"]
+__all__ = [
+    "mm_external",
+    "msg_set_props_via_json",
+    "json_get_int",
+    "om_prog",
+]
 
 
 # --------------------------------------------------------------------------
@@ -388,5 +393,208 @@ def mm_external(
                     child.kill()
             if outfd is not None:
                 outfd.close()
+
+    return df.mapInPandas(_proc, schema=schema)
+
+
+# --------------------------------------------------------------------------
+# omprog (plugins/omprog/omprog.c, 1282 LoC) — program-as-sink
+# --------------------------------------------------------------------------
+
+
+def _line_to_status(line: str) -> str:
+    """lineToStatusCode (omprog.c:428-453): leading '.' keep-alive dots
+    stripped; OK / DEFER_COMMIT / PREVIOUS_COMMITTED map to their
+    RS_RET codes; anything else is a recoverable error (SUSPENDED)."""
+    line = line.lstrip(".")
+    if line == "OK":
+        return "ok"
+    if line == "DEFER_COMMIT":
+        return "defer_commit"
+    if line == "PREVIOUS_COMMITTED":
+        return "previous_committed"
+    return "error:" + line
+
+
+def om_prog(
+    df: DataFrame,
+    line_col: str,
+    binary: str,
+    confirm_messages: bool = False,
+    use_transactions: bool = False,
+    begin_mark: str = "BEGIN TRANSACTION",
+    commit_mark: str = "COMMIT TRANSACTION",
+    resume_retry_count: int = 0,
+    output: str | None = None,
+    force_single_instance: bool = False,
+    status_col: str = "prog_status",
+) -> DataFrame:
+    """omprog: pipe rendered sink lines through an external program
+    (plugins/omprog/omprog.c + plugins/external/INTERFACE.md).
+
+    One child per partition (the reference's worker-instance model;
+    ``forcesingleinstance`` coalesces to one partition = the single
+    mutex-guarded child, omprog.c:507-521). Returns the input frame
+    plus ``status_col`` — the per-message delivery outcome, the batch
+    analog of the per-message RS_RET codes the action layer consumes:
+
+    - confirm_messages=False: "ok" once the line is written (the
+      reference treats write success as OK; replies are never read,
+      the child's stdout goes to ``output`` or is discarded,
+      :174-199);
+    - confirm_messages=True: the child must confirm startup with OK
+      before the first line (startChild :567-586; a failed startup
+      marks every row of the partition "error:<line>" — the
+      reference's suspend+retry), then each line's reply maps via
+      lineToStatusCode (:428-453). An error reply re-sends the SAME
+      message up to ``resume_retry_count`` times (the action layer's
+      action.resumeRetryCount loop — tests/omprog-feedback.sh pins
+      fail-twice-then-OK recovery);
+    - use_transactions=True: each PARTITION is one transaction bracket
+      — begin mark, lines, commit mark (beginTransaction/doAction/
+      endTransaction, :966-1046; the reference's bracket is the queue
+      batch, ours is the partition — same all-or-nothing contract,
+      boundaries are explicitly nondeterministic in the reference
+      too, see tests/omprog-transactions.sh "transaction boundaries
+      are not deterministic"). With confirms on, in-transaction lines
+      answer DEFER_COMMIT; a confirmed commit mark resolves them to
+      "ok", a failed commit to "error:commit:<line>". Without
+      confirms, doAction's DEFER_COMMIT is implicit (:1014-1016) and
+      rows report "ok" after the bracket closes.
+
+    Messages must be LF-terminated on the wire; the rendered line is
+    sent + '\\n' exactly like doAction appends one when the template
+    lacks it (:997-1006).
+    """
+    argv = shlex.split(binary)
+    if not argv:
+        raise ValueError("omprog: empty binary parameter")
+    if force_single_instance:
+        df = df.coalesce(1)
+    in_schema = df.schema
+    col_names = [f.name for f in in_schema.fields]
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    schema = StructType(
+        list(in_schema.fields) + [StructField(status_col, StringType())]
+    )
+
+    def _proc(batches):
+        import pandas as pd
+
+        child = None
+        startup_err = None
+
+        def spawn():
+            return subprocess.Popen(
+                argv,
+                stdin=subprocess.PIPE,
+                stdout=subprocess.PIPE
+                if confirm_messages
+                else (
+                    open(output, "a")
+                    if output
+                    else subprocess.DEVNULL
+                ),
+                stderr=subprocess.DEVNULL,
+                text=True,
+                bufsize=1,
+            )
+
+        def read_status() -> str:
+            reply = child.stdout.readline()
+            if reply == "":
+                raise BrokenPipeError
+            return _line_to_status(reply.rstrip("\n"))
+
+        def send(line: str) -> None:
+            child.stdin.write(line + "\n")
+            child.stdin.flush()
+
+        rows_out = []
+        deferred: list[dict] = []
+
+        def flush_bracket(ok: bool, err: str) -> None:
+            for r in deferred:
+                r[status_col] = "ok" if ok else "error:commit:" + err
+            deferred.clear()
+
+        try:
+            try:
+                child = spawn()
+                if confirm_messages:
+                    st = read_status()
+                    if st != "ok":
+                        startup_err = st
+            except (OSError, BrokenPipeError):
+                startup_err = "error:could not start program"
+            in_tx = False
+            for pdf in batches:
+                rows = pdf.to_dict("records")
+                for row in rows:
+                    if startup_err is not None:
+                        row[status_col] = (
+                            startup_err
+                            if startup_err.startswith("error")
+                            else "error:" + startup_err
+                        )
+                        continue
+                    try:
+                        if use_transactions and not in_tx:
+                            send(begin_mark)
+                            if confirm_messages:
+                                read_status()
+                            in_tx = True
+                        line = row.get(line_col) or ""
+                        attempts = 0
+                        while True:
+                            send(line)
+                            if not confirm_messages:
+                                st = "ok"
+                                break
+                            st = read_status()
+                            if (
+                                st.startswith("error")
+                                and attempts < resume_retry_count
+                            ):
+                                attempts += 1
+                                continue
+                            break
+                        row[status_col] = st
+                        if st in ("defer_commit", "previous_committed"):
+                            # resolved when the bracket commits
+                            deferred.append(row)
+                        elif not confirm_messages and use_transactions:
+                            deferred.append(row)
+                    except (BrokenPipeError, OSError):
+                        row[status_col] = "error:program terminated"
+                        startup_err = "error:program terminated"
+                # frames are built AFTER the bracket closes — deferred
+                # rows get their final status at commit time
+                rows_out.append(rows)
+            # close the bracket (endTransaction, :1029-1046)
+            if in_tx and startup_err is None:
+                try:
+                    send(commit_mark)
+                    if confirm_messages:
+                        st = read_status()
+                        flush_bracket(st == "ok", st)
+                    else:
+                        flush_bracket(True, "")
+                except (BrokenPipeError, OSError):
+                    flush_bracket(False, "program terminated")
+            elif deferred:
+                flush_bracket(False, "transaction not committed")
+            for rows in rows_out:
+                yield pd.DataFrame(
+                    rows, columns=col_names + [status_col]
+                )
+        finally:
+            if child is not None:
+                try:
+                    child.stdin.close()
+                    child.wait(timeout=5)
+                except (OSError, subprocess.TimeoutExpired):
+                    child.kill()
 
     return df.mapInPandas(_proc, schema=schema)

@@ -15,6 +15,7 @@ import pytest
 
 from pyspark.sql import functions as F
 
+from rsyslog_spark import external as external_mod
 from rsyslog_spark.config import compile_config
 from rsyslog_spark.mods import (
     audit_record_fields,
@@ -474,6 +475,183 @@ ruleset(name="r2") {
                 'ruleset(name="r") { action(type="mmexternal") }',
                 entry="r",
             )
+
+
+# omprog child mirroring testsuites/omprog-feedback-bin.sh /
+# omprog-transactions-bin.sh: startup OK, per-line transcript to
+# argv[1], optional fail-twice on lines with 04/07, transaction marks
+_PROG_SINK = """\
+import sys
+out = open(sys.argv[1], "a")
+mode = sys.argv[2] if len(sys.argv) > 2 else "plain"
+print("OK"); sys.stdout.flush()
+out.write("<= OK\\n"); out.flush()
+retry = {}
+in_tx = False
+fail_commit = False
+for line in sys.stdin:
+    msg = line.rstrip("\\n")
+    out.write("=> " + msg + "\\n"); out.flush()
+    if msg == "BEGIN TRANSACTION":
+        in_tx = True; status = "OK"
+    elif msg == "COMMIT TRANSACTION":
+        in_tx = False
+        status = "Error: could not commit" if fail_commit else "OK"
+        fail_commit = False
+    elif in_tx:
+        status = "DEFER_COMMIT"
+    else:
+        status = "OK"
+    if mode in ("feedback", "failed_commits") and (
+        "04" in msg or "07" in msg
+    ) and msg not in ("BEGIN TRANSACTION", "COMMIT TRANSACTION"):
+        n = retry.get(msg, 0)
+        if n < 2:
+            retry[msg] = n + 1
+            if mode == "failed_commits":
+                fail_commit = True
+            else:
+                status = "Error: could not process log message"
+        else:
+            retry[msg] = 0
+    out.write("<= " + status + "\\n"); out.flush()
+    print(status); sys.stdout.flush()
+"""
+
+
+class TestOmProg:
+    """omprog (plugins/omprog/omprog.c) — program-as-sink with
+    confirmMessages / useTransactions / retry semantics distilled from
+    the reference e2e suite (omprog-defaults / -feedback /
+    -transactions .sh)."""
+
+    def _df(self, spark, n=10):
+        return spark.createDataFrame(
+            [(f"msgnum:{i:08d}",) for i in range(n)], "line string"
+        )
+
+    def _run(self, spark, tmp_path, mode, n=10, **kw):
+        script = tmp_path / "sink.py"
+        script.write_text(_PROG_SINK)
+        transcript = tmp_path / "transcript.log"
+        out = external_mod.om_prog(
+            self._df(spark, n),
+            "line",
+            f"python3 {script} {transcript} {mode}",
+            force_single_instance=True,
+            **kw,
+        ).collect()
+        lines = (
+            transcript.read_text().splitlines()
+            if transcript.exists()
+            else []
+        )
+        return {r["line"]: r["prog_status"] for r in out}, lines
+
+    def test_defaults_no_confirm(self, spark, tmp_path):
+        """omprog-defaults.sh: every rendered line reaches the child in
+        order; statuses are 'ok' without reading replies."""
+        st, lines = self._run(spark, tmp_path, "plain")
+        assert set(st.values()) == {"ok"}
+        got = [x[3:] for x in lines if x.startswith("=> ")]
+        assert got == [f"msgnum:{i:08d}" for i in range(10)]
+
+    def test_feedback_retry(self, spark, tmp_path):
+        """omprog-feedback.sh: messages containing 04/07 fail twice
+        then succeed; with the resumeRetryCount loop all deliver."""
+        st, lines = self._run(
+            spark, tmp_path, "feedback",
+            confirm_messages=True, resume_retry_count=10,
+        )
+        assert set(st.values()) == {"ok"}
+        # the failing messages appear 3x in the child transcript
+        sent = [x[3:] for x in lines if x.startswith("=> ")]
+        assert sent.count("msgnum:00000004") == 3
+        assert sent.count("msgnum:00000007") == 3
+        assert sent.count("msgnum:00000001") == 1
+
+    def test_feedback_no_retry_reports_error(self, spark, tmp_path):
+        st, _ = self._run(
+            spark, tmp_path, "feedback", confirm_messages=True
+        )
+        assert st["msgnum:00000004"].startswith("error:Error")
+        assert st["msgnum:00000001"] == "ok"
+
+    def test_transactions_confirmed(self, spark, tmp_path):
+        """omprog-transactions.sh distilled: BEGIN/COMMIT marks bracket
+        the messages, in-transaction lines answer DEFER_COMMIT, the
+        confirmed commit resolves every row to ok."""
+        st, lines = self._run(
+            spark, tmp_path, "plain",
+            confirm_messages=True, use_transactions=True,
+        )
+        assert set(st.values()) == {"ok"}
+        sent = [x[3:] for x in lines if x.startswith("=> ")]
+        assert sent[0] == "BEGIN TRANSACTION"
+        assert sent[-1] == "COMMIT TRANSACTION"
+        assert sent[1:-1] == [f"msgnum:{i:08d}" for i in range(10)]
+        replies = [x[3:] for x in lines if x.startswith("<= ")]
+        # startup OK, begin OK, 10x DEFER_COMMIT, commit OK
+        assert replies == ["OK", "OK"] + ["DEFER_COMMIT"] * 10 + ["OK"]
+
+    def test_transactions_failed_commit(self, spark, tmp_path):
+        """omprog-transactions-failed-commits.sh shape: a failed commit
+        reply turns every deferred row into a commit error."""
+        st, _ = self._run(
+            spark, tmp_path, "failed_commits", n=5,
+            confirm_messages=True, use_transactions=True,
+        )
+        assert all(v.startswith("error:commit:") for v in st.values())
+
+    def test_startup_failure_marks_partition(self, spark, tmp_path):
+        bad = tmp_path / "bad.py"
+        bad.write_text("print('Error: not ready')\n")
+        out = external_mod.om_prog(
+            self._df(spark, 3), "line", f"python3 {bad}",
+            confirm_messages=True, force_single_instance=True,
+        ).collect()
+        assert all(
+            r["prog_status"].startswith("error") for r in out
+        )
+
+    def test_config_face_e2e(self, spark, tmp_path):
+        """action(type="omprog" ...) through config text: the Action
+        filters/renders like omfile (omprog-defaults.sh config shape),
+        cfg.prog_sinks carries the pump spec, and the child receives
+        the template-rendered lines."""
+        from rsyslog_spark.config import parse_config
+
+        script = tmp_path / "sink.py"
+        script.write_text(_PROG_SINK)
+        transcript = tmp_path / "t.log"
+        conf = f"""
+template(name="outfmt" type="string" string="%msg%")
+ruleset(name="r") {{
+    if $msg contains "msgnum:" then {{
+        action(type="omprog" name="prog"
+               binary="python3 {script} {transcript} plain"
+               template="outfmt" confirmMessages="on")
+    }}
+}}
+"""
+        cfg = parse_config(conf)
+        rc = cfg.compiler()
+        ann, actions = rc.compile(_parsed_df(spark, [RAW_EXT]), "r")
+        a = next(x for x in actions if x.sink == "prog")
+        spec = cfg.prog_sinks["prog"]
+        assert spec["confirm_messages"] is True
+        res = external_mod.om_prog(
+            a.output(ann), a.out_col,
+            spec["binary"],
+            confirm_messages=spec["confirm_messages"],
+            force_single_instance=True,
+        ).collect()
+        assert [r["prog_status"] for r in res] == ["ok"]
+        sent = [
+            x[3:] for x in transcript.read_text().splitlines()
+            if x.startswith("=> ")
+        ]
+        assert sent == ["msgnum:1"]
 
 
 class TestSetPropsViaJSONWalk:
