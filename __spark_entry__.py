@@ -79,10 +79,41 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def q_parse_rfc3164(spark, sf_dir):
     p = _parsed(spark, sf_dir).filter(F.col("parser") == "rfc3164")
+    # r5 facet: parser(type="pmrfc3164") instance options
+    # (tools/pmrfc3164.c:63-70) — a synthetic line exercising
+    # permit.slashesInHostname + force.tagEndingByColon + the ungated
+    # hour-position year (datetime.c:678-690) through the custom-chain
+    # branch; alternating rows lack the TAG colon and get the '-' TAG
+    # + p2parse -= (i+1) restore (the pre-TAG SP re-enters MSG)
+    from rsyslog_spark.parse.chain_custom import build_custom_chain
+
+    i_s = F.col("i").cast("string")
+    sline = F.concat(
+        F.lit("<13>Mar 10 "), (2000 + F.col("i") % 100).cast("string"),
+        F.lit(" 01:00:0"), (F.col("i") % 6).cast("string"),
+        F.lit(" host/"), i_s,
+        F.when(F.col("i") % 2 == 0, F.lit(" tag: m")).otherwise(
+            F.lit(" tagnc m")
+        ),
+    )
+    cc = build_custom_chain(
+        p.select("i", sline.alias("text"), F.col("ts")),
+        [{
+            "name": "opt3164", "type": "pmrfc3164",
+            "permit.slashesinhostname": "on",
+            "force.tagendingbycolon": "on",
+        }],
+    ).select(
+        "i",
+        F.col("hostname").alias("p3_host"),
+        F.col("syslogtag").alias("p3_tag"),
+        F.col("msg").alias("p3_msg"),
+        F.col("timereported").alias("p3_ts"),
+    )
     return p.select(
         "i", "hostname", "syslogtag", "programname", "procid", "msg",
         "pri", "syslogfacility", "syslogseverity", "timereported",
-    )
+    ).join(cc, "i")
 
 
 def q_parse_rfc5424(spark, sf_dir):
@@ -1474,7 +1505,14 @@ def oracle_sql() -> dict[str, str]:
     o = {}
     o["parse_rfc3164"] = with_parsed_oracle(
         "SELECT i, hostname, syslogtag, programname, procid, msg, pri, "
-        "syslogfacility, syslogseverity, timereported "
+        "syslogfacility, syslogseverity, timereported, "
+        # pmrfc3164-instance facets (closed-form synthetic line):
+        # slashes-permitted hostname, force-colon TAG ('-' + the
+        # pre-TAG-SP restore on odd rows), hour-position year ts
+        "'host/' || CAST(i AS VARCHAR) AS p3_host, "
+        "CASE WHEN i % 2 = 0 THEN 'tag:' ELSE '-' END AS p3_tag, "
+        "CASE WHEN i % 2 = 0 THEN ' m' ELSE ' tagnc m' END AS p3_msg, "
+        "make_timestamp(2000 + i % 100, 3, 10, 1, 0, i % 6) AS p3_ts "
         "FROM p WHERE parser = 'rfc3164'"
     )
     o["parse_rfc5424"] = with_parsed_oracle(

@@ -193,12 +193,87 @@ def build_custom_chain(
                 out, _pmnormalize_rules(inst), idx, name
             )
             branches.append(br)
-        elif ptype in ("rfc3164", "rfc5424", "rsyslog.rfc3164",
-                       "rsyslog.rfc5424"):
+        elif ptype in ("pmrfc3164", "rfc3164", "rsyslog.rfc3164"):
+            # parser(type="pmrfc3164" ...) instance with the full
+            # option set (tools/pmrfc3164.c:63-70; e2e goldens
+            # pmrfc3164-AtSignsInHostname(_off)/-tagEndingByColon/
+            # -msgFirstSpace/hostname-with-slash). ALWAYS accepts
+            # (parse2 never returns COULD_NOT_PARSE) — instances after
+            # it in the chain are dead, like the reference.
+            import pandas as pd
+
+            from rsyslog_spark.parse.pm3164 import (
+                Pm3164Options,
+                parse_3164_opts,
+            )
+
+            def _flag(key: str) -> bool:
+                return str(inst.get(key, "off")).lower() in _ON
+
+            opts = Pm3164Options(
+                detect_year_after_timestamp=_flag(
+                    "detect.yearaftertimestamp"
+                ),
+                permit_square_brackets_in_hostname=_flag(
+                    "permit.squarebracketsinhostname"
+                ),
+                permit_slashes_in_hostname=_flag(
+                    "permit.slashesinhostname"
+                ),
+                permit_at_signs_in_hostname=_flag(
+                    "permit.atsignsinhostname"
+                ),
+                force_tag_ending_by_colon=_flag(
+                    "force.tagendingbycolon"
+                ),
+                remove_msg_first_space=_flag("remove.msgfirstspace"),
+            )
+            pfx = f"_cc{idx}_"
+
+            def _mk(o):
+                def _p3164(after, fac, recv, haspri):
+                    r = parse_3164_opts(
+                        after, fac, recv, o, has_pri=haspri
+                    )
+                    return pd.DataFrame(
+                        {
+                            "hostname": r["hostname"],
+                            "tag": r["syslogtag"],
+                            "msg": r["msg"],
+                            "ts": r["timereported"],
+                            "tstext": r["timestamp_text"],
+                        }
+                    )
+
+                return F.pandas_udf(
+                    _p3164,
+                    "struct<hostname:string,tag:string,msg:string,"
+                    "ts:timestamp,tstext:string>",
+                )
+
+            out = out.withColumn(
+                pfx + "r",
+                _mk(opts)(
+                    F.col("rawmsg_after_pri"),
+                    facility_expr(F.col("pri")),
+                    F.col(recv_ts_col),
+                    F.col("_pri_prefix") != "",
+                ),
+            )
+            branches.append({
+                "ok": F.lit(True),
+                "parser": F.lit(name),
+                "tag": F.col(pfx + "r.tag"),
+                "pri": F.col("pri"),
+                "msg": F.col(pfx + "r.msg"),
+                "ts": F.col(pfx + "r.ts"),
+                "hostname": F.col(pfx + "r.hostname"),
+            })
+        elif ptype in ("rfc5424", "rsyslog.rfc5424"):
             raise ValueError(
-                f"{ptype}: the rfc builtins are the default chain "
+                f"{ptype}: the rfc5424 builtin is the default chain "
                 "(parse.with_parsed); custom chains support "
-                "pmciscoios/pmnull instances"
+                "pmrfc3164/pmciscoios/pmnull instances"
             )
         else:
             raise ValueError(f"unknown parser type {ptype!r}")

@@ -1850,3 +1850,172 @@ class TestRulebaseNewTypes:
         v = dict(ann.first()["vars"])
         assert v["ip"] == "10.0.0.7"
         assert v["mac"] == "00:1b:63:84:45:e6"
+
+
+class TestPmRfc3164Options:
+    """parser(type="pmrfc3164" ...) instances (tools/pmrfc3164.c:63-70)
+    — the five reference e2e goldens byte-exact plus the datetime.c
+    year-form walks (hand-derived, :497-507/:678-690/:744-768)."""
+
+    def _run(self, spark, params, raws, tpl):
+        from rsyslog_spark.config import apply_ruleset_parsers
+        from rsyslog_spark.templates import compile_template
+
+        conf = f'''
+parser(name="custom.rfc3164" type="pmrfc3164" {params})
+template(name="outfmt" type="string" string="{tpl}")
+ruleset(name="customparser" parser=["custom.rfc3164"]) {{
+    action(type="omfile" file="/log/out.log" template="outfmt")
+}}
+'''
+        df = spark.createDataFrame(
+            [(r, "2019-03-15 00:00:00") for r in raws],
+            "text string, ts_s string",
+        ).withColumn("ts", F.col("ts_s").cast("timestamp"))
+        parsed, cfg = apply_ruleset_parsers(df, conf, "customparser")
+        rows = parsed.select(
+            compile_template(cfg.templates["outfmt"]).alias("line"),
+            "syslogtag",
+        ).collect()
+        return rows
+
+    def test_tag_ending_by_colon_golden(self, spark):
+        """tests/pmrfc3164-tagEndingByColon.sh cmp byte-exact (the
+        ':syslogtag, contains, "tag"' filter drops the '-' rows)."""
+        rows = self._run(
+            spark, 'force.tagEndingByColon="on"',
+            [
+                "<129>Mar 10 01:00:00 Hostname1 tag1: msgnum:1",
+                "<129>Mar 10 01:00:00 Hostname2 tag2:  msgnum:2",
+                "<129>Mar 10 01:00:00 Hostname3 tag3 msgnum:3",
+                "<129>Mar 10 01:00:00 Hostname4 tag4 :",
+                "<129>Mar 10 01:00:00 Hostname5 tag5:msgnum:5",
+            ],
+            "-%syslogtag%-%msg%-",
+        )
+        got = [r["line"] for r in rows if "tag" in r["syslogtag"]]
+        assert got == [
+            "-tag1:- msgnum:1-",
+            "-tag2:-  msgnum:2-",
+            "-tag5:-msgnum:5-",
+        ]
+        # the dropped rows carry the reference's '-' TAG and the
+        # p2parse -= (i+1) restore (pre-TAG delimiter re-enters MSG)
+        dropped = [r["line"] for r in rows if "tag" not in r["syslogtag"]]
+        assert dropped == [
+            "--- tag3 msgnum:3-",
+            "--- tag4 :-",
+        ]
+
+    def test_msg_first_space_golden(self, spark):
+        """tests/pmrfc3164-msgFirstSpace.sh cmp byte-exact."""
+        rows = self._run(
+            spark, 'remove.msgFirstSpace="on"',
+            [
+                "<129>Mar 10 01:00:00 172.20.245.8 tag: msgnum:1",
+                "<129>Mar 10 01:00:00 172.20.245.8 tag:  msgnum:2",
+                "<129>Mar 10 01:00:00 172.20.245.8 tag:msgnum:3",
+                "<129>Mar 10 01:00:00 172.20.245.8 tag4:",
+            ],
+            "-%msg%-",
+        )
+        assert [r["line"] for r in rows] == [
+            "-msgnum:1-", "- msgnum:2-", "-msgnum:3-", "--",
+        ]
+
+    def test_at_signs_golden_on_and_off(self, spark):
+        """tests/pmrfc3164-AtSignsInHostname.sh (on: all four hostnames
+        incl. '@' forms) and _off.sh (off: '@' rows lose the hostname
+        and their TAG becomes the would-be hostname, so the
+        tag-contains filter drops them)."""
+        raws = [
+            "<129>Mar 10 01:00:00 Hostname1 tag: msgnum:1",
+            "<129>Mar 10 01:00:00 Hostn@me2 tag:  msgnum:2",
+            "<129>Mar 10 01:00:00 Hostname3 tag:msgnum:3",
+            "<129>Mar 10 01:00:00 Hos@name4 tag4:",
+        ]
+        on = self._run(
+            spark, 'permit.AtSignsInHostname="on"', raws,
+            "-%hostname%-",
+        )
+        assert [r["line"] for r in on] == [
+            "-Hostname1-", "-Hostn@me2-", "-Hostname3-", "-Hos@name4-",
+        ]
+        off = self._run(
+            spark, 'permit.AtSignsInHostname="off"', raws,
+            "-%hostname%-%syslogtag%-%msg%-",
+        )
+        got = [r["line"] for r in off if "tag" in r["syslogtag"]]
+        assert got == [
+            "-Hostname1-tag:- msgnum:1-",
+            "-Hostname3-tag:-msgnum:3-",
+        ]
+
+    def test_slashes_golden(self, spark):
+        """tests/hostname-with-slash-pmrfc3164.sh cmp byte-exact."""
+        rows = self._run(
+            spark, 'permit.slashesInHostname="on"',
+            ["<167>Mar  6 16:57:54 hostname1/hostname2 test: msgnum:0"],
+            "%hostname%",
+        )
+        assert [r["line"] for r in rows] == ["hostname1/hostname2"]
+
+    def test_square_brackets(self, spark):
+        """pmrfc3164.c:270-324 bracket walk: '[ip] ' is a hostname
+        (brackets kept); a bare '[ip]' with nothing after is NOT
+        (the post-']' char must be SP)."""
+        rows = self._run(
+            spark, 'permit.squareBracketsInHostname="on"',
+            [
+                "<129>Mar 10 01:00:00 [192.168.0.1] tag: x",
+                "<129>Mar 10 01:00:00 [192.168.0.1]",
+            ],
+            "%hostname%|%syslogtag%",
+        )
+        assert rows[0]["line"] == "[192.168.0.1]|tag:"
+        assert rows[1]["line"].startswith("|")  # no hostname
+
+    def test_year_forms(self, spark):
+        """datetime.c year walks: prepended (:497-507, ungated),
+        hour-position (:678-690, ungated), after-time (:744-759,
+        gated on detect.YearAfterTimestamp), tolerated ':' (:761-768).
+        timereported carries the explicit year (:783-784)."""
+        tpl = "%timereported:::date-rfc3339%|%hostname%|%msg%"
+        rows = self._run(
+            spark, 'detect.yearAfterTimestamp="on"',
+            [
+                "<129>2021 Mar 10 01:00:00 h tag: a",
+                "<129>Mar 10 2022 01:00:00 h tag: b",
+                "<129>Mar 10 01:00:00 2023 h tag: c",
+                "<129>Mar 10 01:00:00 1999 h tag: d",  # <2000: not a year
+                "<129>Mar 10 01:00:00: h tag: e",      # tolerated colon
+            ],
+            tpl,
+        )
+        lines = [r["line"] for r in rows]
+        assert lines[0].startswith("2021-03-10T01:00:00")
+        assert lines[1].startswith("2022-03-10T01:00:00")
+        assert lines[2].startswith("2023-03-10T01:00:00")
+        assert lines[0].endswith("|h| a")
+        # 1999 fails the 2000..2099 gate -> recv-year ts, and "1999"
+        # re-enters the scan as the hostname
+        assert lines[3].startswith("2019-03-10T01:00:00")
+        assert "|1999|" in lines[3]
+        assert lines[4].startswith("2019-03-10T01:00:00")
+        assert lines[4].endswith("|h| e")
+
+    def test_year_forms_off_by_default(self, spark):
+        """With the option off the after-time year is NOT consumed
+        (goes to the hostname scan), but the ungated forms still
+        parse."""
+        rows = self._run(
+            spark, "",
+            [
+                "<129>Mar 10 01:00:00 2023 h tag: c",
+                "<129>2021 Mar 10 01:00:00 h tag: a",
+            ],
+            "%timereported:::date-rfc3339%|%hostname%",
+        )
+        assert "|2023" in rows[0]["line"]
+        assert rows[0]["line"].startswith("2019-")
+        assert rows[1]["line"] == "2021-03-10T01:00:00+00:00|h"
