@@ -154,6 +154,9 @@ class ParsedConfig:
     # values (mmsnmptrapd.c:429-432 cfsysline handlers; auto-reset when
     # an instance consumes them, :360-363)
     snmptrapd_cs: dict = field(default_factory=dict)
+    # pending $ActionOmrulesetRulesetName (omruleset.c:144-163;
+    # auto-reset when a ':omruleset:' instance consumes it)
+    omruleset_name: str | None = None
     # omprog program-sink specs: sink name -> external.om_prog kwargs
     # (the physical pump; Action routing/filtering is shared with
     # omfile — run a sink with external.om_prog(a.output(ann),
@@ -772,6 +775,21 @@ class _Parser:
                 raise ValueError(f"unknown template {tpl!r}")
             self.cfg.sink_templates[sink] = tpl
             return Action(sink, compile_template(tpl_text))
+        if typ == "omstdout":
+            # plugins/omstdout/omstdout.c:79-82 param block (template,
+            # ensurelfending). A console write is a sink table named
+            # 'stdout' in this engine (the line terminator is the file
+            # sink's framing — ensurelfending accepted and subsumed);
+            # default template RSYSLOG_FileFormat like the C's
+            # newActInst fallback.
+            tpl = p.get("template", "RSYSLOG_FileFormat")
+            tpl_text = self.cfg.templates.get(
+                tpl, BUILTIN_TEMPLATES.get(tpl)
+            )
+            if tpl_text is None:
+                raise ValueError(f"unknown template {tpl!r}")
+            self.cfg.sink_templates["stdout"] = tpl
+            return Action("stdout", compile_template(tpl_text))
         if typ != "omfile":
             raise ValueError(f"unsupported action type {typ!r}")
         path = p.get("file") or p.get("dynafile") or p.get("dynfile")
@@ -1425,6 +1443,11 @@ _LEGACY_SNMPTRAPD_CS = re.compile(
     r"^\s*\$mmsnmptrapd(Tag|SeverityMapping)\s+(\S+)\s*$", re.IGNORECASE
 )
 _LEGACY_SNMPTRAPD_ACT = re.compile(r"^\s*:mmsnmptrapd:(;\S*)?\s*$")
+# omruleset legacy faces (deprecated 'call' predecessor, omruleset.c)
+_LEGACY_OMRULESET_CS = re.compile(
+    r"^\s*\$ActionOmrulesetRulesetName\s+(\S+)\s*$", re.IGNORECASE
+)
+_LEGACY_OMRULESET_ACT = re.compile(r"^\s*:omruleset:(;\S*)?\s*$")
 
 
 _BSD_BLOCK = re.compile(r"^\s*[!+][^\s=]+\s*$")
@@ -1443,6 +1466,27 @@ def _legacy_line(line: str, cfg: ParsedConfig) -> bool:
     m = _LEGACY_TEMPLATE.match(line)
     if m:
         cfg.templates[m.group(1)] = m.group("t")
+        return True
+    m = _LEGACY_OMRULESET_CS.match(line)
+    if m:
+        # $ActionOmrulesetRulesetName (omruleset.c:144-163 setRuleset)
+        cfg.omruleset_name = m.group(1)
+        return True
+    if _LEGACY_OMRULESET_ACT.match(line):
+        # ':omruleset:[;template]' — template parsed but IGNORED
+        # (omruleset.c:185-189); doAction = MsgDup + submit to the
+        # target ruleset's QUEUE (:127-141) ≡ this engine's queued
+        # call (copy semantics). Missing directive = the reference's
+        # RS_RET_NO_RULESET config error (:176-180); the name is
+        # auto-reset after the instance binds (:196-199).
+        if getattr(cfg, "omruleset_name", None) is None:
+            raise ValueError(
+                "omruleset: no ruleset was specified, use "
+                "$ActionOmrulesetRulesetName directive first! "
+                "(omruleset.c:176-180)"
+            )
+        cfg.main.append(Call(cfg.omruleset_name, queued=True))
+        cfg.omruleset_name = None
         return True
     m = _LEGACY_SNMPTRAPD_CS.match(line)
     if m:

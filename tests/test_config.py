@@ -2019,3 +2019,58 @@ ruleset(name="customparser" parser=["custom.rfc3164"]) {{
         assert "|2023" in rows[0]["line"]
         assert rows[0]["line"].startswith("2019-")
         assert rows[1]["line"] == "2021-03-10T01:00:00+00:00|h"
+
+
+class TestOmRulesetAndOmStdout:
+    """omruleset legacy faces (plugins/omruleset/omruleset.c — the
+    deprecated 'call' predecessor: MsgDup + submit to the target
+    ruleset's QUEUE ≡ queued call) and omstdout (plugins/omstdout —
+    console ≡ the 'stdout' sink table)."""
+
+    def _df(self, spark):
+        return spark.createDataFrame(
+            [("<13>Mar 10 01:00:00 h tag: hello", "2019-03-15 00:00:00")],
+            "text string, ts_s string",
+        ).withColumn("ts", F.col("ts_s").cast("timestamp"))
+
+    def test_omruleset_legacy_face(self, spark):
+        from rsyslog_spark.parse import with_parsed
+
+        conf = """
+template(name="t" type="string" string="%msg%")
+ruleset(name="target") {
+    action(type="omfile" file="/log/routed.log" template="t")
+}
+$ActionOmrulesetRulesetName target
+:omruleset:
+action(type="omfile" file="/log/direct.log" template="t")
+"""
+        df = with_parsed(self._df(spark))
+        ann, actions = compile_config(df, conf)
+        sinks = {a.sink for a in actions}
+        assert {"routed", "direct"} <= sinks
+        for name in ("routed", "direct"):
+            a = next(x for x in actions if x.sink == name)
+            rows = a.output(ann).select(a.out_col).collect()
+            assert [r[0] for r in rows] == [" hello"]
+
+    def test_omruleset_missing_directive_errors(self, spark):
+        from rsyslog_spark.config import parse_config
+
+        with pytest.raises(ValueError, match="no ruleset was specified"):
+            parse_config("ruleset(name=\"x\") { stop }\n:omruleset:\n")
+
+    def test_omstdout_action(self, spark):
+        from rsyslog_spark.parse import with_parsed
+
+        conf = """
+template(name="t" type="string" string="OUT %msg%")
+ruleset(name="r") {
+    action(type="omstdout" template="t")
+}
+"""
+        df = with_parsed(self._df(spark))
+        ann, actions = compile_config(df, conf, entry="r")
+        a = next(x for x in actions if x.sink == "stdout")
+        rows = a.output(ann).select(a.out_col).collect()
+        assert [r[0] for r in rows] == ["OUT  hello"]

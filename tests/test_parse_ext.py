@@ -784,3 +784,76 @@ class TestPropReplTagGoldens:
             "+01234567890123456789012345678901+",
             "+01234567890123456789012345678901-toolong+",
         ]
+
+
+class TestImProg:
+    """improg (contrib/improg/improg.c): external program -> messages
+    over the START / lines+ACK / STOP handshake."""
+
+    _CHILD = """\
+import sys
+log = open(sys.argv[1], "a")
+start = sys.stdin.readline()
+log.write("got:" + start); log.flush()
+for i in range(4):
+    print(f"line {i}" if i != 2 else "")   # empty line 2 is skipped
+    sys.stdout.flush()
+    ack = sys.stdin.readline()
+    log.write("ack:" + ack.rstrip() + "\\n"); log.flush()
+stop = sys.stdin.readline()
+log.write("got:" + stop); log.flush()
+"""
+
+    def test_protocol_and_fields(self, spark, tmp_path):
+        from rsyslog_spark.sources.prog import improg_spark
+
+        script = tmp_path / "gen.py"
+        script.write_text(self._CHILD)
+        log = tmp_path / "proto.log"
+        df = improg_spark(
+            spark, f"python3 {script} {log}", tag="myprog:",
+            severity=3, facility=10, localhostname="collector",
+            timeout_s=3.0,
+        )
+        rows = df.orderBy("turn_idx").collect()
+        # empty line skipped (enqLine :384-387)
+        assert [r["text"] for r in rows] == ["line 0", "line 1", "line 3"]
+        r0 = rows[0]
+        assert r0["syslogtag"] == "myprog:"
+        assert r0["pri"] == 10 * 8 + 3
+        assert r0["hostname"] == "collector"
+        proto = log.read_text().splitlines()
+        # START before lines, one ACK per line (incl. the empty one —
+        # the C ACKs BEFORE the empty-line check), STOP at the end
+        assert proto[0] == "got:START"
+        assert proto[1:5] == ["ack:ACK"] * 4
+        assert proto[5] == "got:STOP"
+
+    def test_front_door_integration(self, spark, tmp_path):
+        """improg lines run through the normal parse chain like any
+        other source's raw text."""
+        from rsyslog_spark.parse import with_parsed
+        from rsyslog_spark.sources.prog import improg_spark
+
+        script = tmp_path / "gen.py"
+        script.write_text(
+            "import sys\n"
+            "sys.stdin.readline()\n"
+            "print('<13>Mar 10 01:00:00 h tag: from-prog')\n"
+            "sys.stdout.flush()\n"
+            "sys.stdin.readline()\n"
+        )
+        df = improg_spark(
+            spark, f"python3 {script}", tag="p:", max_lines=1
+        ).drop("syslogtag", "pri", "hostname")
+        p = with_parsed(df).first()
+        assert p["msg"] == " from-prog"
+        assert p["syslogtag"] == "tag:"
+        assert p["hostname"] == "h"
+
+    def test_tag_required(self, spark):
+        from rsyslog_spark.sources.prog import improg_spark
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="tag"):
+            improg_spark(spark, "cat", tag="")
