@@ -857,3 +857,157 @@ log.write("got:" + stop); log.flush()
 
         with _pytest.raises(ValueError, match="tag"):
             improg_spark(spark, "cat", tag="")
+
+
+_BATCH_RECORDS = [
+    "164313.149.x!A.1: TRACE:at:    { tpcommit(0x0)",
+    "164313.150.x!A.2: TRACE:at:    } tpfree",
+]
+
+
+class TestImBatchReport:
+    """imbatchreport (contrib/imbatchreport/imbatchreport.c): whole
+    file = one message; goldens distilled from the reference e2e
+    suite (imbatchreport_delete_success / _delete_structdata /
+    _rename_success / _rename_toolarge / errmsg_* .sh)."""
+
+    def _write(self, tmp_path, name, lines):
+        f = tmp_path / name
+        f.write_text("\n".join(lines) + "\n")
+        return f
+
+    def test_delete_structdata_golden(self, tmp_path):
+        """_delete_structdata.sh: trailing [..] block -> SD (embedded
+        LF removed), START= epoch overrides mtime, KSH="..." ->
+        APP-NAME, block + surrounding whitespace leave the MSG, runs
+        of spaces collapse, LF -> literal backslash-n, file deleted."""
+        from rsyslog_spark.sources.batchreport import batchreport_poll
+
+        f = self._write(
+            tmp_path, "r.dsd.done",
+            _BATCH_RECORDS
+            + ['    [START=1552143924 KSH="MYBATCH.sh"', ' DURATION=120]     '],
+        )
+        msgs = batchreport_poll(
+            reports=str(tmp_path / "*.done"), tag="batch",
+            severity=6, facility=16,
+            delete=r".done$ \t.rejected".replace(r"\t", "\t"),
+            program_key="KSH", timestamp_key="START",
+            dedup_space=True, localhostname="server",
+        )
+        assert len(msgs) == 1
+        m = msgs[0]
+        assert m["msg"] == (
+            "164313.149.x!A.1: TRACE:at: { tpcommit(0x0)\\n"
+            "164313.150.x!A.2: TRACE:at: } tpfree"
+        )
+        assert m["structured_data"] == (
+            '[START=1552143924 KSH="MYBATCH.sh" DURATION=120]'
+        )
+        assert m["app_name"] == "MYBATCH.sh"
+        assert m["ts_epoch"] == 1552143924  # 2019-03-09T15:05:24Z
+        assert m["pri"] == 134
+        assert (m["hostname"], m["procid"], m["msgid"]) == (
+            "server", "-", "-"
+        )
+        assert not f.exists()  # delete on success
+
+    def test_rename_success_and_no_sd(self, tmp_path):
+        """_rename_success.sh: no SD block -> SD '-', mtime timestamp;
+        file renamed to path[:match.start] + sent suffix."""
+        from rsyslog_spark.sources.batchreport import batchreport_poll
+
+        f = self._write(tmp_path, "r.rs.done", _BATCH_RECORDS)
+        msgs = batchreport_poll(
+            reports=str(tmp_path / "*.done"), tag="batch",
+            rename=".done$ .sent .rejected", dedup_space=True,
+        )
+        assert msgs[0]["structured_data"] == "-"
+        assert msgs[0]["app_name"] is None
+        assert msgs[0]["ts_epoch"] == int(f"{int((tmp_path / 'r.rs.sent').stat().st_mtime)}")
+        assert not f.exists()
+        assert (tmp_path / "r.rs.sent").exists()
+
+    def test_too_large_rejected(self, tmp_path):
+        """_rename_toolarge.sh: body over max_msg_size -> the message
+        is 'File too large : <path>' and the file renames to the
+        REJECTED suffix."""
+        from rsyslog_spark.sources.batchreport import (
+            FILE_TOO_LARGE,
+            batchreport_poll,
+        )
+
+        f = self._write(tmp_path, "r.tl.done", ["x" * 500] * 4)
+        msgs = batchreport_poll(
+            reports=str(tmp_path / "*.done"), tag="batch",
+            rename=".done$ .sent .rejected", max_msg_size=800,
+        )
+        assert msgs[0]["msg"] == FILE_TOO_LARGE + str(f)
+        assert msgs[0]["too_large"]
+        assert (tmp_path / "r.tl.rejected").exists()
+        assert not f.exists()
+
+    def test_param_errors(self, tmp_path):
+        """errmsg_* parity: rename/delete exclusivity + arity + regex
+        validation are config errors."""
+        from rsyslog_spark.sources.batchreport import batchreport_poll
+        import pytest as _pytest
+
+        g = str(tmp_path / "*.done")
+        with _pytest.raises(ValueError, match="exclusive"):
+            batchreport_poll(
+                reports=g, tag="t",
+                rename=".done$ .s .r", delete=".done$ .r",
+            )
+        with _pytest.raises(ValueError, match="exclusive"):
+            batchreport_poll(reports=g, tag="t")
+        with _pytest.raises(ValueError, match="THREE"):
+            batchreport_poll(reports=g, tag="t", rename=".done$ .s")
+        with _pytest.raises(ValueError, match="TWO"):
+            batchreport_poll(reports=g, tag="t", delete=".done$")
+        with _pytest.raises(ValueError, match="valid regex"):
+            batchreport_poll(reports=g, tag="t", delete="[bad .r")
+
+    def test_nonmatching_action_regex_stops(self, tmp_path):
+        """A file the action regex cannot rename out of the glob scope
+        stops the poll (imbatchreport.c:455-459) — nothing consumed."""
+        from rsyslog_spark.sources.batchreport import batchreport_poll
+
+        f = self._write(tmp_path, "r.nm.done", _BATCH_RECORDS)
+        msgs = batchreport_poll(
+            reports=str(tmp_path / "*.done"), tag="batch",
+            delete=r"\.other$ .rejected",
+        )
+        assert msgs == []
+        assert f.exists()
+
+    def test_sd_window_quirk(self, tmp_path):
+        """A trailing ']' whose '[' is beyond the 150-byte window
+        still drops the scanned tail from the MSG (the C subtracts
+        stdata_len unconditionally, :331) — bug-for-bug."""
+        from rsyslog_spark.sources.batchreport import batchreport_poll
+
+        body = "A" * 10 + "[" + "B" * 200 + "]"
+        f = self._write(tmp_path, "r.wq.done", [body])
+        msgs = batchreport_poll(
+            reports=str(tmp_path / "*.done"), tag="batch",
+            delete=".done$ .rejected",
+        )
+        m = msgs[0]
+        assert m["structured_data"] == "-"  # '[' outside the window
+        # the scanned 150-byte tail is dropped from the MSG
+        assert len(m["msg"]) == len(body) - 149
+        assert not f.exists()
+
+    def test_spark_frame(self, spark, tmp_path):
+        from rsyslog_spark.sources.batchreport import batchreport_spark
+
+        self._write(tmp_path, "r.sf.done", _BATCH_RECORDS)
+        df = batchreport_spark(
+            spark, reports=str(tmp_path / "*.done"), tag="batch",
+            delete=".done$ .rejected", dedup_space=True,
+        )
+        row = df.first()
+        assert row["syslogtag"] == "batch"
+        assert row["pri"] == 133  # local0.notice defaults
+        assert row["timereported"] is not None
