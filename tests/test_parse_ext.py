@@ -1011,3 +1011,81 @@ class TestImBatchReport:
         assert row["syslogtag"] == "batch"
         assert row["pri"] == 133  # local0.notice defaults
         assert row["timereported"] is not None
+
+
+class TestImTuxedoUlog:
+    """imtuxedoulog (contrib/imtuxedoulog/imtuxedoulog.c): the
+    reference e2e golden tests/imtuxedoulog_data.sh reproduced
+    field-for-field."""
+
+    _LINES = [
+        "164313.15.tst-tmsm1!ARTIMPP_UDB.40042721.1.0: gtrid x0 "
+        "x5624ee75 x1c88a0f: TRACE:at:    } tpfree",
+        "164313.151.tst-tmsm1!ARTIMPP_UDB.40042722.1.0: gtrid x0 "
+        "x5624ee75 x1c88a0f: ECID <000001833E1D4^>: TRACE:at:    } tpfree",
+        "164313.154.tst-tmsm1!ARTIMPP_UDB.40042722.1.0: "
+        "ECID <000001833E1D4V^>: TRACE:at:    { tpacall(0xc)",
+    ]
+
+    def test_data_golden(self, tmp_path):
+        import datetime as dt
+
+        from rsyslog_spark.sources.tuxedoulog import tuxedoulog_poll
+
+        day = dt.date(2024, 3, 9)
+        f = tmp_path / "ULOG.030924"
+        f.write_text("\n".join(self._LINES) + "\n")
+        msgs = tuxedoulog_poll(
+            ulogbase=str(tmp_path / "ULOG"), tag="domain",
+            severity=6, facility=16, date=day,
+        )
+        assert len(msgs) == 3
+        m0, m1, m2 = msgs
+        # line 1: gtrid dropped, no SD, ss.15 (precision 2)
+        assert m0["hostname"] == "tst-tmsm1"
+        assert m0["procid"] == "ARTIMPP_UDB.40042721.1"  # .0 ctx dropped
+        assert m0["structured_data"] == "-"
+        assert m0["msg"] == "TRACE:at:    } tpfree"
+        assert m0["ts"] == dt.datetime(2024, 3, 9, 16, 43, 13, 150000)
+        assert m0["pri"] == 134
+        # line 2: gtrid dropped THEN ECID -> SD with the C's trailing
+        # space (the golden's double-space before the text)
+        assert m1["structured_data"] == '[ECID="000001833E1D4^"] '
+        assert m1["msg"] == "TRACE:at:    } tpfree"
+        assert m1["ts"].microsecond == 151000  # .151, precision 3
+        # line 3: ECID without gtrid
+        assert m2["structured_data"] == '[ECID="000001833E1D4V^"] '
+        assert m2["msg"] == "TRACE:at:    { tpacall(0xc)"
+
+    def test_parse_rejections(self):
+        from rsyslog_spark.sources.tuxedoulog import parse_ulog_line
+
+        assert parse_ulog_line("254313.15.h!p.1.0: x") is None  # hour 25
+        assert parse_ulog_line("164313.15.hostonly: x") is None  # no '!'
+        assert parse_ulog_line("164313.15.h!p-no-colon") is None
+        # ECID without '>' -> no SD, text from the ECID word
+        p = parse_ulog_line("164313.15.h!p.1.0: ECID <broken")
+        assert p["structured_data"] == "-"
+        assert p["msg"] == "ECID <broken"
+
+    def test_mandatory_params(self):
+        from rsyslog_spark.sources.tuxedoulog import tuxedoulog_poll
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="mandatory"):
+            tuxedoulog_poll(ulogbase="", tag="t")
+
+    def test_spark_frame(self, spark, tmp_path):
+        import datetime as dt
+
+        from rsyslog_spark.sources.tuxedoulog import tuxedoulog_spark
+
+        day = dt.date(2024, 3, 9)
+        (tmp_path / "ULOG.030924").write_text(self._LINES[0] + "\n")
+        df = tuxedoulog_spark(
+            spark, ulogbase=str(tmp_path / "ULOG"), tag="domain",
+            date=day,
+        )
+        row = df.first()
+        assert row["procid"] == "ARTIMPP_UDB.40042721.1"
+        assert row["timereported"] is not None
