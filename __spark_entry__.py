@@ -571,6 +571,31 @@ def q_mm_rewrite(spark, sf_dir):
         norm, "msg", _prog_bin, confirm_messages=True,
         status_col="prog_status",
     )
+    # r5 facet: mmdblookup — GeoIP-style enrichment from the committed
+    # MMDB fixture (tools/fixtures/geo.mmdb, written by the pure-Python
+    # writer): i%4==3 rows carry an address outside the DB (no-op),
+    # others hit 10/8 or 192.168/16
+    _geo = _os.path.join(
+        _os.path.dirname(_os.path.abspath(__file__)),
+        "tools", "fixtures", "geo.mmdb",
+    )
+    dbl_ip = F.when(
+        F.col("i") % 4 == 3, F.lit("203.0.113.9")
+    ).when(
+        F.col("i") % 4 == 0,
+        F.concat(F.lit("192.168."), (F.col("i") % 200).cast("string"),
+                 F.lit(".4")),
+    ).otherwise(
+        F.concat(F.lit("10."), (F.col("i") % 200).cast("string"),
+                 F.lit(".0.7"))
+    )
+    norm = norm.withColumn(
+        "dblvars", F.create_map(F.lit("ip"), dbl_ip)
+    )
+    norm = mods.mm_dblookup(
+        norm, key="$!ip", mmdbfile=_geo,
+        fields=["city", ":country:cc"], vars_col="dblvars",
+    )
     # mmtaghostname: tag= replaces the TAG wholesale (programname
     # re-derived, stops at '['), forcelocalhostname pins hostname
     norm = mods.mm_taghostname(
@@ -631,6 +656,8 @@ def q_mm_rewrite(spark, sf_dir):
         F.element_at("extvars", "ext!prog").alias("ext_prog"),
         F.col("msgid").alias("ext_msgid"),
         "prog_status",
+        F.element_at("dblvars", "iplocation!city").alias("dbl_city"),
+        F.element_at("dblvars", "iplocation!country").alias("dbl_cc"),
     )
 
 
@@ -1950,7 +1977,13 @@ def oracle_sql() -> dict[str, str]:
         "ELSE msgid END AS ext_msgid, "
         # omprog facet: the program rejects msgnum ≡ 3 (mod 7) lines
         "CASE WHEN i % 10 <= 7 AND i % 7 = 3 THEN 'error:Error: div7' "
-        "ELSE 'ok' END AS prog_status "
+        "ELSE 'ok' END AS prog_status, "
+        # mmdblookup facets: i%4==3 misses the DB, 0 -> 192.168/16,
+        # else 10/8 (committed fixture tools/fixtures/geo.mmdb)
+        "CASE WHEN i % 4 = 3 THEN NULL WHEN i % 4 = 0 THEN 'PrivNet' "
+        "ELSE 'TenNet' END AS dbl_city, "
+        "CASE WHEN i % 4 = 3 THEN NULL WHEN i % 4 = 0 THEN 'PN' "
+        "ELSE 'TN' END AS dbl_cc "
         "FROM p WHERE parse_success"
     )
     # --- dataops oracles ---------------------------------------------------

@@ -59,6 +59,7 @@ from rsyslog_spark.route import (
     Audit,
     Call,
     CallIndirect,
+    DbLookup,
     External,
     Foreach,
     Grok,
@@ -626,6 +627,36 @@ class _Parser:
             # plugins/mmaudit: no instance parameters (instanceData is
             # a dummy, mmaudit.c:65-67)
             return Audit()
+        if typ == "mmdblookup":
+            # param block mmdblookup.c:97-103: key / mmdbfile / fields
+            # all REQUIRED; reloadonhup accepted+ignored (the reader
+            # loads at config time — a batch run has no HUP). The
+            # container comes from module(load="mmdblookup"
+            # container=...), default "!iplocation" (:46, :226-228).
+            missing = [
+                k for k in ("key", "mmdbfile", "fields") if k not in p
+            ]
+            if missing:
+                raise ValueError(
+                    f"mmdblookup: mandatory parameter(s) {missing} "
+                    "not specified (mmdblookup.c:97-103)"
+                )
+            container = "!iplocation"
+            for m in self.cfg.modules:
+                if (
+                    m.get("load", "").endswith("mmdblookup")
+                    and "container" in m
+                ):
+                    container = m["container"]
+            from rsyslog_spark.mods import _dblookup_fields
+
+            _dblookup_fields(p["fields"], container)  # config-time
+            return DbLookup(
+                key=p["key"],
+                mmdbfile=p["mmdbfile"],
+                fields=p["fields"],
+                container=container,
+            )
         if typ == "mmexternal":
             # param block mmexternal.c:88-93: binary REQUIRED,
             # interface.input (msg/rawmsg/fulljson, :559-571), output,

@@ -726,6 +726,147 @@ def mm_taghostname(
 
 
 # ---------------------------------------------------------------------------
+# mmdblookup (plugins/mmdblookup/mmdblookup.c)
+# ---------------------------------------------------------------------------
+
+
+def _dblookup_fields(fields, container: str) -> list[tuple[str, str]]:
+    """Field-spec parse (mmdblookup.c:265-293): each entry is
+    ``name`` or ``:varname:name`` (missing closing colon = config
+    error); a leading '!' of the name is stripped; the write path is
+    ``<container>!<varname-or-name>`` — returned as (record_path,
+    bag_key) with the container's leading '!' dropped for the flat
+    bag."""
+    out = []
+    for param in [fields] if isinstance(fields, str) else fields:
+        varname = None
+        name = param
+        if param.startswith(":"):
+            b = param.find(":", 1)
+            if b < 0:
+                raise ValueError(
+                    f"mmdblookup: missing closing colon: {param!r} "
+                    "(mmdblookup.c:275-278)"
+                )
+            varname = param[1:b]
+            name = param[b + 1:]
+        if name.startswith("!"):
+            name = name[1:]
+        key = container + "!" + (varname if varname else name)
+        out.append((name, key.lstrip("!")))
+    return out
+
+
+def mm_dblookup(
+    df: DataFrame,
+    key: str,
+    mmdbfile: str,
+    fields,
+    container: str = "!iplocation",
+    vars_col: str = "vars",
+    active: Column | None = None,
+) -> DataFrame:
+    """GeoIP-style enrichment from a MaxMind DB
+    (plugins/mmdblookup/mmdblookup.c doAction :350-455).
+
+    ``key`` names the message property holding the address ("$!ip",
+    "$.x", or a plain property/column name). Per row: a missing key /
+    unparsable address (the gai error path :374-379) / no database
+    entry (:385-388) is a silent no-op; otherwise each configured
+    field walks the record along its '!'-separated path (:416-434 —
+    a missing component yields json NULL; the reference then
+    msgAddJSON's a null node, ours skips the write) and lands at
+    ``<container>!<varname>`` in the bag (msgAddJSON replace
+    semantics; container default "!iplocation", :46). Subtree values
+    flatten with the bag's ``a!b`` convention; scalars stringify.
+
+    100 TB shape: the database is ENUMERATED ONCE (driver-side) into
+    sorted network intervals via the pure-Python MMDB reader
+    (rsyslog_spark.mmdb — the format spec is public) and shipped to
+    executors as two int lists + records inside the UDF closure; each
+    batch does an O(log n) bisect per row — no per-row tree pointer
+    walk, no join, no shuffle. The reference links libmaxminddb and
+    walks the tree per message; same contract, batch-friendly plan.
+    """
+    import bisect
+
+    from rsyslog_spark.mmdb import MMDBReader
+    from rsyslog_spark.templates import resolve_property
+    from rsyslog_spark.templates import var_key as _vk
+
+    reader = MMDBReader.open(mmdbfile)  # config-time: bad file is loud
+    nets = reader.networks()
+    starts = [a for a, _, _ in nets]
+    ends = [b for _, b, _ in nets]
+    recs = [r for _, _, r in nets]
+    specs = _dblookup_fields(fields, container)
+
+    if key.startswith(("$!", "$.")):
+        key_expr = F.element_at(F.col(vars_col), _vk(key))
+    else:
+        key_expr = resolve_property(key.lstrip("$")).cast("string")
+
+    import json as _json
+
+    def _flatten(prefix: str, v, bag: dict) -> None:
+        if isinstance(v, dict):
+            for k, sub in v.items():
+                _flatten(prefix + "!" + k, sub, bag)
+        elif isinstance(v, list):
+            bag[prefix] = _json.dumps(v, separators=(",", ":"))
+        elif isinstance(v, bool):
+            bag[prefix] = "true" if v else "false"
+        elif v is not None:
+            bag[prefix] = (
+                v if isinstance(v, str) else _json.dumps(v)
+            )
+
+    def _enrich_one(bag, ip):
+        import ipaddress as _ipa
+
+        if ip is None:
+            return bag
+        try:
+            ival = int(_ipa.ip_address(ip))
+        except ValueError:
+            return bag
+        at = bisect.bisect_right(starts, ival) - 1
+        if at < 0 or ends[at] < ival:
+            return bag
+        rec = recs[at]
+        bag = dict(bag or {})
+        for path, bag_key in specs:
+            node = rec
+            for part in path.split("!"):
+                if not isinstance(node, dict) or part not in node:
+                    node = None
+                    break
+                node = node[part]
+            if node is None:
+                continue
+            for k in [
+                x for x in bag
+                if x == bag_key or x.startswith(bag_key + "!")
+            ]:
+                del bag[k]
+            _flatten(bag_key, node, bag)
+        return bag
+
+    @F.pandas_udf("map<string,string>")
+    def _walk(bags: pd.Series, ips: pd.Series) -> pd.Series:
+        return pd.Series(
+            [_enrich_one(b, i) for b, i in zip(bags, ips)],
+            index=bags.index,
+        )
+
+    new_bag = _walk(F.col(vars_col), key_expr)
+    cur = F.col(vars_col)
+    if active is not None:
+        new_bag = F.when(active, new_bag).otherwise(cur)
+    return df.withColumn(vars_col, new_bag)
+
+
+# ---------------------------------------------------------------------------
 # mmsnmptrapd (plugins/mmsnmptrapd/mmsnmptrapd.c)
 # ---------------------------------------------------------------------------
 

@@ -195,6 +195,19 @@ class SnmpTrapd:
 
 
 @dataclass
+class DbLookup:
+    """action(type="mmdblookup"): enrich from a MaxMind DB
+    (plugins/mmdblookup/mmdblookup.c; executed by mods.mm_dblookup —
+    pure-Python MMDB reader enumerated to broadcast intervals).
+    ``container`` comes from module(load="mmdblookup" container=...),
+    default "!iplocation" (:46, :226-228)."""
+    key: str
+    mmdbfile: str
+    fields: list
+    container: str = "!iplocation"
+
+
+@dataclass
 class External:
     """action(type="mmexternal"): modify messages through an external
     program speaking the stdin/stdout line protocol
@@ -345,6 +358,7 @@ def _check_foreach_body(
                 Grok,
                 SnmpTrapd,
                 External,
+                DbLookup,
             ),
         ):
             raise ValueError(
@@ -372,7 +386,9 @@ def _check_foreach_body(
 def _has_mutation(stmts: list) -> bool:
     for st in stmts:
         if isinstance(
-            st, (Set, Unset, Foreach, Normalize, Audit, Grok, External)
+            st,
+            (Set, Unset, Foreach, Normalize, Audit, Grok, External,
+             DbLookup),
         ):
             return True
         for sub in ("then", "els", "body"):
@@ -601,6 +617,18 @@ class RouteCompiler:
                 self._apply_snmptrapd(st, path & ~stopped)
             elif isinstance(st, External):
                 self._apply_external(st, path & ~stopped)
+            elif isinstance(st, DbLookup):
+                from rsyslog_spark.mods import mm_dblookup
+
+                self._df = mm_dblookup(
+                    self._df,
+                    key=st.key,
+                    mmdbfile=st.mmdbfile,
+                    fields=st.fields,
+                    container=st.container,
+                    vars_col=self._vars_col,
+                    active=path & ~stopped,
+                )
             elif isinstance(st, Audit):
                 self._apply_audit(path & ~stopped)
             elif isinstance(st, AddHmac):

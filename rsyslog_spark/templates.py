@@ -168,17 +168,32 @@ def resolve_property(name: str) -> Column:
         # bare LOCAL-vars root: the '.'-prefixed key namespace
         return render_vars_tree(F.col("vars"), scope="local")
     if name.startswith("!") and len(name) > 1:
-        # %!x% — subtree render in the json-c spaced form
-        # (tests/rscript_substring.sh golden '{ "var1": "", ... }')
-        return render_vars_tree(F.col("vars"), prefix=name[1:] + "!")
+        # %!x% — leaf value when the path IS a leaf, else the json-c
+        # spaced subtree render (the reference's jsonVar returns the
+        # node: scalar -> string, object -> json render;
+        # tests/rscript_substring.sh golden '{ "var1": "", ... }')
+        leaf = F.element_at(F.col("vars"), name[1:])
+        return F.when(leaf.isNotNull(), leaf).otherwise(
+            render_vars_tree(F.col("vars"), prefix=name[1:] + "!")
+        )
     if name.startswith(".") and len(name) > 1:
-        # %.x% — local-var subtree render
-        return render_vars_tree(F.col("vars"), prefix=name + "!")
+        # %.x% — local-var leaf-or-subtree, same rule
+        leaf = F.element_at(F.col("vars"), name)
+        return F.when(leaf.isNotNull(), leaf).otherwise(
+            render_vars_tree(F.col("vars"), prefix=name + "!")
+        )
     if name.startswith(("$!", "$.")):
         # $! message tree and $. locals live in ONE map under distinct
         # key namespaces (locals '.'-prefixed) — r5, matching the
-        # reference's separate trees (runtime/msg.c:681-684)
-        return F.element_at(F.col("vars"), var_key(name))
+        # reference's separate trees (runtime/msg.c:681-684). Same
+        # leaf-or-subtree rule as the bare-! spelling ($ is optional
+        # in property names — tests/mmdb.sh renders %$!iplocation% as
+        # the container OBJECT)
+        key = var_key(name)
+        leaf = F.element_at(F.col("vars"), key)
+        return F.when(leaf.isNotNull(), leaf).otherwise(
+            render_vars_tree(F.col("vars"), prefix=key + "!")
+        )
     # system time properties (PROP_SYS_*, msg.c:755-793; formatting
     # getNOW msg.c:2996-3051). "Processing time" = timegenerated here
     # (deterministic per row — a wall clock would break golden tests and

@@ -1022,3 +1022,129 @@ ruleset(name="r") {
         assert dict(out.first()["vars"]) == {
             "other": "keep", "g!n": "5",
         }
+
+
+class TestMMDbLookup:
+    """mmdblookup (plugins/mmdblookup/mmdblookup.c) over the pure-
+    Python MMDB reader — the reference e2e goldens (tests/mmdb.sh,
+    mmdb-multilevel-vg.sh, mmdb-container.sh shapes) reproduced on a
+    self-written fixture, plus reader parity vs the reference's own
+    checked-in test.mmdb."""
+
+    RAW = "<129>Mar 10 01:00:00 h tag: 202.106.0.20 x"
+
+    def _fixture(self, tmp_path):
+        from rsyslog_spark.mmdb import write_mmdb
+
+        p = tmp_path / "test.mmdb"
+        write_mmdb(str(p), {
+            "202.106.0.20/32": {"city": "Beijing"},
+            "10.0.0.0/8": {
+                "city": "Ten",
+                "location": {"lat": 1.5, "cc": "TC"},
+            },
+        })
+        return p
+
+    def _conf(self, mmdb, fields, pre="", tpl="%$!iplocation%"):
+        return f"""
+{pre}template(name="t" type="string" string="{tpl}")
+ruleset(name="r") {{
+    action(type="mmnormalize" rule=["rule=: %ip:word% %rest:rest%"])
+    action(type="mmdblookup" mmdbfile="{mmdb}" key="$!ip"
+           fields={fields})
+    action(type="omfile" file="/x/out.log" template="t")
+}}
+"""
+
+    def test_mmdb_sh_golden(self, spark, tmp_path):
+        """tests/mmdb.sh content_check byte-exact."""
+        ann, actions = compile_config(
+            _parsed_df(spark, [self.RAW]),
+            self._conf(self._fixture(tmp_path), '"city"'),
+            entry="r",
+        )
+        assert _render(ann, actions, "out") == ['{ "city": "Beijing" }']
+
+    def test_multilevel_varname_golden(self, spark, tmp_path):
+        """mmdb-multilevel-vg.sh: ':city_name:city' renames the
+        field."""
+        ann, actions = compile_config(
+            _parsed_df(spark, [self.RAW]),
+            self._conf(self._fixture(tmp_path), '":city_name:city"'),
+            entry="r",
+        )
+        assert _render(ann, actions, "out") == [
+            '{ "city_name": "Beijing" }'
+        ]
+
+    def test_container_override_and_nested_path(self, spark, tmp_path):
+        """module(load="mmdblookup" container="!geo") relocates the
+        results; a '!'-separated field path walks the record subtree
+        (doAction :416-434); a dict value flattens into the bag."""
+        raw = "<129>Mar 10 01:00:00 h tag: 10.1.2.3 x"
+        conf = self._conf(
+            self._fixture(tmp_path),
+            '["city", ":lat:location!lat", "location"]',
+            pre='module(load="mmdblookup" container="!geo")\n',
+            tpl="%$!geo!city%|%$!geo!lat%|%$!geo!location!cc%",
+        )
+        ann, actions = compile_config(
+            _parsed_df(spark, [raw]), conf, entry="r"
+        )
+        assert _render(ann, actions, "out") == ["Ten|1.5|TC"]
+
+    def test_not_found_and_invalid_are_noops(self, spark, tmp_path):
+        raws = [
+            "<129>Mar 10 01:00:00 h tag: 9.9.9.9 x",      # no entry
+            "<129>Mar 10 01:00:00 h tag: not-an-ip x",    # gai error
+        ]
+        ann, actions = compile_config(
+            _parsed_df(spark, raws),
+            self._conf(self._fixture(tmp_path), '"city"'),
+            entry="r",
+        )
+        assert _render(ann, actions, "out") == ["", ""]
+
+    def test_config_errors(self, spark, tmp_path):
+        from rsyslog_spark.config import parse_config
+
+        with pytest.raises(ValueError, match="mandatory"):
+            parse_config(
+                'ruleset(name="r") { action(type="mmdblookup" '
+                'key="$!ip") }'
+            )
+        with pytest.raises(ValueError, match="missing closing colon"):
+            from rsyslog_spark.mods import _dblookup_fields
+
+            _dblookup_fields(":broken", "!iplocation")
+
+    def test_reader_parity_vs_reference_fixture(self):
+        """The reference's own checked-in fixtures read identically
+        (tests/test.mmdb + with_space.mmdb — the mmdb-space.sh
+        value)."""
+        import os
+
+        from rsyslog_spark.mmdb import MMDBReader
+
+        ref = "/root/reference/tests/test.mmdb"
+        if not os.path.exists(ref):
+            pytest.skip("reference fixture not available")
+        r = MMDBReader.open(ref)
+        assert r.lookup("202.106.0.20") == {"city": "Beijing"}
+        assert r.lookup("8.8.8.8") is None
+        s = MMDBReader.open(
+            "/root/reference/tests/with_space.mmdb"
+        )
+        assert s.lookup("202.106.0.20") == {"city": "Bei ing"}
+
+    def test_writer_reader_roundtrip_v6(self, tmp_path):
+        from rsyslog_spark.mmdb import MMDBReader, write_mmdb
+
+        p = tmp_path / "v6.mmdb"
+        write_mmdb(
+            str(p), {"2001:db8::/32": {"net": "doc"}}, ip_version=6
+        )
+        r = MMDBReader.open(str(p))
+        assert r.lookup("2001:db8::1") == {"net": "doc"}
+        assert r.lookup("2001:db9::1") is None
