@@ -1229,9 +1229,16 @@ class _Parser:
             _, ref = self.next()
             self.expect(")")
             if ref.startswith(("$!", "$.")):
+                # a node exists when it is a leaf OR a parent of one
+                # (msgCheckVarExists walks the tree — exists($!a) is
+                # true when only $!a!b is set; r5, same
+                # leaf-or-subtree rule as template refs)
+                key = tpl_var_key(ref)
                 return (
-                    F.map_contains_key(
-                        F.col("vars"), F.lit(tpl_var_key(ref))
+                    F.map_contains_key(F.col("vars"), F.lit(key))
+                    | F.exists(
+                        F.map_keys(F.col("vars")),
+                        lambda k: k.startswith(key + "!"),
                     ),
                     "b",
                 )

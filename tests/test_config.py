@@ -2074,3 +2074,30 @@ ruleset(name="r") {
         a = next(x for x in actions if x.sink == "stdout")
         rows = a.output(ann).select(a.out_col).collect()
         assert [r[0] for r in rows] == ["OUT  hello"]
+
+
+class TestExistsSubtree:
+    """exists($!x) is node existence (msgCheckVarExists walks the
+    tree): a parent whose only content is children exists — r5, same
+    leaf-or-subtree rule as template refs."""
+
+    def test_parent_and_leaf_and_missing(self, spark):
+        from rsyslog_spark.parse import with_parsed
+
+        df = spark.createDataFrame(
+            [("<13>Mar 10 01:00:00 h t: m", "2019-03-15 00:00:00")],
+            "text string, ts_s string",
+        ).withColumn("ts", F.col("ts_s").cast("timestamp"))
+        conf = """
+template(name="t" type="string" string="%$.r%")
+ruleset(name="r") {
+    set $!a!b = "1";
+    if exists($!a) then { set $.r = "parent"; }
+    if exists($!a!b) then { reset $.r = $.r & "+leaf"; }
+    if exists($!nope) then { reset $.r = $.r & "+BAD"; }
+    action(type="omfile" file="/x/out.log" template="t")
+}
+"""
+        ann, actions = compile_config(with_parsed(df), conf, entry="r")
+        a = next(x for x in actions if x.sink == "out")
+        assert a.output(ann).select(a.out_col).first()[0] == "parent+leaf"
